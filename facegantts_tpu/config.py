@@ -1,0 +1,297 @@
+"""Typed configuration system.
+
+Capability parity with the reference's Sacred experiment (reference
+config.py:6-181): every parameter keeps the reference's key name, every one
+is overridable by environment variable, by CLI ``key=value`` pairs, and by a
+JSON file — so reference recipes carry over unchanged.  Unlike the reference
+(a Sacred-generated dict), this is a frozen dataclass: typo-safe, typed,
+hashable pieces can be closed over by jitted functions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field, fields
+from typing import Any, Dict, List, Optional, Tuple
+
+
+def _fix_len_compatibility(length: int, num_downsamplings_in_unet: int = 2) -> int:
+    """Round ``length`` up to a multiple of 2**num_downsamplings (U-Net levels).
+
+    Mirrors reference model/utils.py:14-18.
+    """
+    factor = 2**num_downsamplings_in_unet
+    return ((length + factor - 1) // factor) * factor
+
+
+@dataclass(frozen=True)
+class Config:
+    """All framework parameters.  Key names match reference config.py:10-181."""
+
+    # -- run --------------------------------------------------------------
+    seed: int = 37
+    perceptual_loss: int = 1  # generate xt_hat for the speaker-binding loss
+
+    # -- dataset ----------------------------------------------------------
+    dataset: str = "lrs2"
+    lrs2_train: str = "data/lrs2/datalist/lrs2_train_long.list"
+    lrs2_val: str = "data/lrs2/datalist/lrs2_val_long.list"
+    lrs2_test: str = "data/lrs2/datalist/lrs2_test_long.list"
+    lrs2_path: str = "data/lrs2"
+    cmudict_path: str = "data/cmu_dictionary"
+    packed_data_dir: str = ""  # preprocessed ArrayRecord/npz shards (TPU input path)
+
+    # -- data -------------------------------------------------------------
+    image_size: int = 224
+    max_frames: int = 30
+    image_augment: int = 0
+
+    # hifigan-16k audio front end (reference config.py:30-36)
+    n_fft: int = 1024
+    sample_rate: int = 16000
+    hop_len: int = 160
+    win_len: int = 1024
+    f_min: float = 0.0
+    f_max: float = 8000.0
+    n_mels: int = 128
+
+    # -- encoder (reference config.py:39-50) -------------------------------
+    spk_emb_dim: int = 64
+    vid_emb_dim: int = 512
+    n_enc_channels: int = 192
+    filter_channels: int = 768
+    filter_channels_dp: int = 256
+    n_enc_layers: int = 6
+    enc_kernel: int = 3
+    enc_dropout: float = 0.0
+    n_heads: int = 2
+    window_size: int = 4
+
+    # -- decoder (reference config.py:52-56) --------------------------------
+    dec_dim: int = 64
+    beta_min: float = 0.05
+    beta_max: float = 20.0
+    pe_scale: float = 1000.0
+
+    # -- syncnet ------------------------------------------------------------
+    syncnet_stride: int = 1
+    syncnet_ckpt: Optional[str] = None
+    spk_emb: str = "face"  # or "speech"
+    syncnet_initw: float = 10.0
+    syncnet_initb: float = -5.0
+
+    # -- experiment ---------------------------------------------------------
+    batch_size: int = 256
+    add_blank: int = 1
+    snet_emb: int = 1
+    n_spks: int = 7358
+    multi_spks: int = 1
+    denoise_factor: float = 0.7
+
+    # preprocessing filter experiments (reference config.py:75-83)
+    use_bandstop_filter: int = 0
+    bandstop_q_value: float = 1.0
+    use_highpass_filter: int = 0
+    highpass_cutoff: float = 70.0
+    use_lowpass_filter: int = 0
+    lowpass_cutoff: float = 4500.0
+
+    # -- GAN (reference config.py:88-136) ------------------------------------
+    use_gan: int = 1
+    use_pitch_loss: int = 0
+    use_energy_loss: int = 0
+    use_fm_loss: int = 0
+    disc_loss_type: str = "hinge"  # "hinge" | "mse" | "bce"
+    lambda_adv: float = 0.7
+    gamma: float = 0.02  # speaker-binding loss weight
+
+    disc_lrelu_slope: float = 0.3
+    disc_learning_rate: float = 1e-4
+    use_spectral_norm: int = 0
+    disc_base_channels: int = 64
+    disc_num_layers: int = 5
+    residual_channels: int = 256
+    kernel_width: int = 5
+    kernel_height: int = 12
+    disc_stride: int = 1
+    disc_padding: int = 6
+
+    warmup_disc_epochs: int = 0
+    freeze_gen_epochs: int = 0
+    micro_batch_size: int = 16
+    micro_batch_size_gen: int = 16
+
+    use_r1_penalty: int = 1
+    r1_gamma: float = 15.0
+    r1_start_epoch: int = 0
+
+    # Whether the adversarial G-loss backpropagates through the reverse
+    # diffusion sampler.  The reference's FaceTTS.forward is decorated with
+    # @torch.no_grad() (face_tts.py:92), so its G-step adversarial term
+    # carries NO generator gradient; 0 reproduces that (cheap), 1 enables a
+    # true differentiable sampler (rematerialised lax.scan).
+    adv_grad_through_sampler: int = 0
+
+    disc_betas_0: float = 0.9
+    disc_betas_1: float = 0.999
+    disc_eps: float = 1e-8
+
+    # -- optimizer / schedule (reference config.py:126-136) ------------------
+    optim_type: str = "adam"  # adam | adamw | adam_diff | sgd
+    schedule_type: str = "constant"
+    learning_rate: float = 1e-8
+    end_lr: float = 1e-7
+    weight_decay: float = 0.1
+    decay_power: Any = 1.0  # "cosine" | "linear" | "constant" | float poly power
+    max_steps: int = 100000
+    save_step: int = 10000
+    warmup_steps: int = 2
+    gen_eps: float = 1e-8
+    grad_clip: float = 1.0
+
+    video_data_root: str = "mp4"
+    image_data_root: str = "jpg"
+    audio_data_root: str = "wav"
+    log_every_n_steps: int = 1000
+
+    # -- distributed (TPU mesh replaces reference num_gpus/num_nodes) --------
+    num_gpus: int = 4  # retained name; = number of devices on the data axis
+    num_nodes: int = 1
+    num_workers: int = 8
+    prefetch_factor: int = 2
+    mesh_shape: Tuple[int, ...] = ()  # () = 1-D data mesh over all devices
+    use_bf16: int = 1  # bfloat16 activations on the MXU path
+
+    # -- checkpoints ----------------------------------------------------------
+    resume_from: str = ""
+    checkpoint_dir: str = "checkpoints"
+    keep_top_k: int = 3
+
+    # -- inference -------------------------------------------------------------
+    test_txt: str = "test/text.txt"
+    use_custom: int = 2
+    test_faceimg: str = "test/face.png"
+    timesteps: int = 10
+    temperature: float = 1.5
+    length_scale: float = 0.91
+    output_dir: str = "outputs"
+    ground_truth_dir: str = ""
+    results_path: str = "evaluation"
+    infr_resume_from_orig: str = ""
+    infr_resume_from_gan: str = ""
+
+    # -- eval / early stop --------------------------------------------------
+    val_check_interval: float = 1.0
+    test_only: int = 0
+    eval_interval: int = 1000
+    early_stopping_patience: int = 30
+    early_stopping_min_delta: float = 0.001
+
+    id: str = "unknown"
+    working_dir: str = ""
+
+    # -- static-shape buckets (TPU addition; reference pads dynamically) ------
+    max_text_len: int = 256
+    max_mel_len: int = 872  # fix_len_compatibility'd
+    text_buckets: Tuple[int, ...] = (64, 128, 192, 256)
+    mel_buckets: Tuple[int, ...] = (256, 436, 656, 872)
+
+    # ------------------------------------------------------------------ api
+    @property
+    def n_feats(self) -> int:
+        # reference config.py:40 aliases n_feats = n_mels
+        return self.n_mels
+
+    @property
+    def out_size(self) -> int:
+        # random 2-second training crop (reference config.py:69)
+        return _fix_len_compatibility(2 * self.sample_rate // 256)
+
+    @property
+    def per_gpu_batchsize(self) -> int:
+        return max(1, self.batch_size // max(1, self.num_gpus))
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def as_dict(self) -> Dict[str, Any]:
+        d = dataclasses.asdict(self)
+        d["n_feats"] = self.n_feats
+        d["out_size"] = self.out_size
+        d["per_gpu_batchsize"] = self.per_gpu_batchsize
+        return d
+
+    def __getitem__(self, key: str) -> Any:
+        """Dict-style access so recipes written against the reference's
+        `_config["key"]` convention keep working."""
+        return getattr(self, key)
+
+    def get(self, key: str, default: Any = None) -> Any:
+        return getattr(self, key, default)
+
+
+_FIELD_TYPES = {f.name: f.type for f in fields(Config)}
+
+
+def _coerce(name: str, raw: Any) -> Any:
+    """Coerce a string override to the declared field type."""
+    default = getattr(Config(), name)
+    if isinstance(raw, str):
+        t = type(default) if default is not None else str
+        if t is bool:
+            return raw.lower() in ("1", "true", "yes")
+        if t is int:
+            return int(raw)
+        if t is float:
+            return float(raw)
+        if t is tuple:
+            if not raw.strip():
+                return ()
+            return tuple(int(x) for x in raw.replace("(", "").replace(")", "").split(","))
+        if default is None:
+            # Optional[str]-style field
+            return None if raw.lower() in ("none", "null", "") else raw
+        if name == "decay_power":
+            try:
+                return float(raw)
+            except ValueError:
+                return raw
+        return raw
+    return raw
+
+
+def default_config(
+    env: Optional[Dict[str, str]] = None,
+    overrides: Optional[Dict[str, Any]] = None,
+    json_path: Optional[str] = None,
+) -> Config:
+    """Build a Config with (lowest→highest precedence): defaults, JSON file,
+    environment variables, explicit overrides.
+
+    Environment-variable override of every key mirrors reference
+    config.py:12-181 (`os.getenv(name, default)`)."""
+    env = dict(os.environ if env is None else env)
+    values: Dict[str, Any] = {}
+    if json_path:
+        with open(json_path) as f:
+            values.update(json.load(f))
+    for name in _FIELD_TYPES:
+        if name in env:
+            values[name] = env[name]
+    if overrides:
+        values.update(overrides)
+    clean = {k: _coerce(k, v) for k, v in values.items() if k in _FIELD_TYPES}
+    return Config(**clean)
+
+
+def parse_cli_overrides(argv: List[str]) -> Dict[str, Any]:
+    """Parse `key=value` CLI args (reference Sacred `with key=value`,
+    hyperopt/hyperopt.py:105)."""
+    out: Dict[str, Any] = {}
+    for a in argv:
+        if "=" in a:
+            k, v = a.split("=", 1)
+            out[k.strip()] = v.strip()
+    return out

@@ -1,0 +1,44 @@
+"""Symbol inventory for the text frontend.
+
+Same 148-symbol set as the reference (text/symbols.py:5-14, text/cmudict.py:6-14):
+pad + '-' + punctuation + ASCII letters + '@'-prefixed ARPAbet phonemes, in the
+same order so integer IDs are interchangeable with reference checkpoints.
+"""
+
+# ARPAbet phone set (CMUdict), stress-marked vowels included.
+ARPABET = [
+    "AA", "AA0", "AA1", "AA2", "AE", "AE0", "AE1", "AE2",
+    "AH", "AH0", "AH1", "AH2", "AO", "AO0", "AO1", "AO2",
+    "AW", "AW0", "AW1", "AW2", "AY", "AY0", "AY1", "AY2",
+    "B", "CH", "D", "DH",
+    "EH", "EH0", "EH1", "EH2", "ER", "ER0", "ER1", "ER2",
+    "EY", "EY0", "EY1", "EY2",
+    "F", "G", "HH",
+    "IH", "IH0", "IH1", "IH2", "IY", "IY0", "IY1", "IY2",
+    "JH", "K", "L", "M", "N", "NG",
+    "OW", "OW0", "OW1", "OW2", "OY", "OY0", "OY1", "OY2",
+    "P", "R", "S", "SH", "T", "TH",
+    "UH", "UH0", "UH1", "UH2", "UW", "UW0", "UW1", "UW2",
+    "V", "W", "Y", "Z", "ZH",
+]
+
+PAD = "_"
+SPECIAL = "-"
+PUNCTUATION = "!'(),.:;? "
+LETTERS = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+
+# '@' prefix disambiguates single-letter phones ('B', 'D', ...) from graphemes.
+symbols = (
+    [PAD]
+    + list(SPECIAL)
+    + list(PUNCTUATION)
+    + list(LETTERS)
+    + ["@" + p for p in ARPABET]
+)
+
+SYMBOL_TO_ID = {s: i for i, s in enumerate(symbols)}
+ID_TO_SYMBOL = {i: s for i, s in enumerate(symbols)}
+
+# The interspersed "blank" token sits one past the symbol table
+# (reference inference.py:120 uses len(symbols) as the blank id).
+BLANK_ID = len(symbols)

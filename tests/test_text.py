@@ -1,0 +1,80 @@
+"""Text frontend tests: symbol inventory, cleaners, encoding, CMUdict."""
+
+import io
+
+from facegantts_tpu.text import (
+    CMUDict,
+    intersperse,
+    sequence_to_text,
+    symbols,
+    text_to_sequence,
+)
+from facegantts_tpu.text.cleaners import english_cleaners
+from facegantts_tpu.text.numbers import normalize_numbers
+from facegantts_tpu.text.symbols import BLANK_ID, SYMBOL_TO_ID
+
+
+def test_symbol_inventory_matches_reference():
+    # reference text/symbols.py builds 148 symbols: _pad + '-' + 10 punct +
+    # 52 letters + 84 arpabet
+    assert len(symbols) == 148
+    assert symbols[0] == "_"
+    assert symbols[1] == "-"
+    assert symbols[2] == "!"
+    assert "@AA" in symbols and "@ZH" in symbols
+    assert BLANK_ID == 148
+
+
+def test_grapheme_roundtrip():
+    seq = text_to_sequence("hello world?", ["english_cleaners"])
+    assert sequence_to_text(seq) == "hello world?"
+
+
+def test_arpabet_escape():
+    seq = text_to_sequence("on {HH AW1 S} street.")
+    assert SYMBOL_TO_ID["@HH"] in seq
+    assert SYMBOL_TO_ID["@AW1"] in seq
+    assert sequence_to_text(seq).count("{HH AW1 S}") == 1
+
+
+def test_numbers():
+    assert normalize_numbers("I have 3 cats") == "I have three cats"
+    assert normalize_numbers("in 1984 he") == "in nineteen eighty-four he"
+    assert normalize_numbers("year 2005") == "year two thousand five"
+    assert normalize_numbers("year 2000") == "year two thousand"
+    assert normalize_numbers("1900 men") == "nineteen hundred men"
+    assert normalize_numbers("$1.50") == "one dollar, fifty cents"
+    assert normalize_numbers("$2") == "two dollars"
+    assert normalize_numbers("£5") == "five pounds"
+    assert normalize_numbers("3.14 is pi") == "three point fourteen is pi"
+    assert normalize_numbers("the 2nd time") == "the second time"
+    assert normalize_numbers("the 23rd") == "the twenty-third"
+    assert normalize_numbers("12,000 things") == "twelve thousand things"
+    assert normalize_numbers("101") == "one hundred one"
+
+
+def test_cleaners():
+    assert english_cleaners("Dr.  Smith") == "doctor smith"
+    assert english_cleaners("Café") == "cafe"
+    assert english_cleaners("MRS. Jones") == "misess jones"
+
+
+def test_cmudict_and_word_lookup():
+    fake = io.StringIO(
+        "HELLO  HH AH0 L OW1\nHELLO(1)  HH EH0 L OW1\nWORLD  W ER1 L D\n"
+    )
+    cmu = CMUDict(fake)
+    assert len(cmu) == 2
+    assert cmu.lookup("hello") == ["HH AH0 L OW1", "HH EH0 L OW1"]
+    seq = text_to_sequence("hello zzq", dictionary=cmu)
+    # 'hello' becomes phonemes; 'zzq' (not in dict) falls back to graphemes
+    assert SYMBOL_TO_ID["@HH"] in seq
+    assert SYMBOL_TO_ID["z"] in seq
+    # no trailing space
+    assert seq[-1] != SYMBOL_TO_ID[" "]
+
+
+def test_intersperse():
+    assert intersperse([5, 6], 0) == [0, 5, 0, 6, 0]
+    out = intersperse([5, 6])
+    assert out == [BLANK_ID, 5, BLANK_ID, 6, BLANK_ID]
