@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Benchmark: face->wav inference real-time factor on the TPU chip.
+
+Prints ONE JSON line on stdout:
+  {"metric": "inference_rtf", "value": RTF, "unit": "s_compute/s_audio",
+   "vs_baseline": 0.05/RTF}
+
+RTF = wall-clock to synthesize / seconds of audio produced, full pipeline
+(text frontend -> TextEncoder -> duration expand -> 10-step diffusion ->
+HiFi-GAN vocoder) at the reference's inference settings (T=10,
+temperature 1.5, length_scale 0.91 — reference inference.py:125-133).
+Baseline: the driver's north-star target RTF < 0.05 on one v5e chip
+(BASELINE.md); vs_baseline > 1 means faster than target.
+
+Extra detail (stderr): per-stage timings and, with BENCH_TRAIN=1, the GAN
+train-step throughput.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def bench_inference(n_iters: int = 10):
+    import jax
+
+    from facegantts_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from facegantts_tpu.config import default_config
+    from facegantts_tpu.synthesis import Synthesizer, load_face
+
+    cfg = default_config(env={})
+    synth = Synthesizer(cfg)
+    face = load_face(os.path.join(os.path.dirname(__file__), "test", "face.png"))
+    text = "The quick brown fox jumps over the lazy dog near the river bank."
+
+    log(f"device: {jax.devices()[0]}")
+    t0 = time.perf_counter()
+    wav, _ = synth.synthesize(text, face)
+    log(f"compile+first synth: {time.perf_counter() - t0:.1f}s, audio {len(wav)/cfg.sample_rate:.2f}s")
+
+    times = []
+    audio_s = None
+    for i in range(n_iters):
+        t0 = time.perf_counter()
+        wav, _ = synth.synthesize(text, face, seed=i)
+        times.append(time.perf_counter() - t0)
+        audio_s = len(wav) / cfg.sample_rate
+    compute_s = float(np.median(times))
+    rtf = compute_s / audio_s
+    log(f"median synth {compute_s*1000:.1f} ms for {audio_s:.2f}s audio -> RTF {rtf:.4f} "
+        f"({1.0/rtf:.1f}x realtime, {1.0/compute_s:.2f} utt/s)")
+    return rtf
+
+
+def bench_gan_step(n_iters: int = 5):
+    import jax
+
+    from facegantts_tpu.config import default_config
+    from facegantts_tpu.train import init_state, make_gan_train_step
+    from tests.test_train import tiny_batch  # noqa: F401  (shape helper)
+
+    from facegantts_tpu.train.state import Batch
+    import jax.numpy as jnp
+
+    cfg = default_config(env={})
+    b, tx, ty = cfg.micro_batch_size * 2, 128, 436
+    rng = np.random.default_rng(0)
+    batch = Batch(
+        x=jnp.asarray(rng.integers(1, 148, (b, tx)), jnp.int32),
+        x_len=jnp.asarray(np.full(b, tx), jnp.int32),
+        y=jnp.asarray(rng.standard_normal((b, cfg.n_mels, ty)), jnp.float32),
+        y_len=jnp.asarray(np.full(b, ty), jnp.int32),
+        spk=jnp.asarray(rng.standard_normal((b, 224, 224, 3)), jnp.float32),
+    )
+    state = init_state(cfg, jax.random.PRNGKey(0), batch)
+    step, _ = make_gan_train_step(cfg)
+    t0 = time.perf_counter()
+    state, m = step(state, batch, jax.random.PRNGKey(1))
+    jax.block_until_ready(m)
+    log(f"GAN step compile+first: {time.perf_counter() - t0:.1f}s")
+    times = []
+    for i in range(n_iters):
+        t0 = time.perf_counter()
+        state, m = step(state, batch, jax.random.PRNGKey(i))
+        jax.block_until_ready(m)
+        times.append(time.perf_counter() - t0)
+    sps = 1.0 / float(np.median(times))
+    log(f"GAN train step: {np.median(times)*1000:.0f} ms (batch {b}) -> {sps:.3f} steps/s, "
+        f"{sps*b:.1f} samples/s")
+    return sps
+
+
+def main():
+    rtf = bench_inference()
+    if os.environ.get("BENCH_TRAIN", "0") == "1":
+        bench_gan_step()
+    print(json.dumps({
+        "metric": "inference_rtf",
+        "value": round(rtf, 5),
+        "unit": "s_compute/s_audio",
+        "vs_baseline": round(0.05 / rtf, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

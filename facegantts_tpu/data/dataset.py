@@ -1,0 +1,214 @@
+"""Dataset + input pipeline.
+
+The reference does wav-load -> denoise -> fade -> mel -> random video frame
+-> text encode *per epoch inside DataLoader workers* (reference
+data/lrs2_dataset.py:61-130 — its CPU hot loop #1).  TPU redesign: all of
+that runs ONCE offline (preprocess.py) into packed .npz shards; the training
+loader only gathers pre-computed arrays, pads to static buckets, and
+prefetches on a background thread, so the accelerator never waits on Python.
+
+Batch schema parity: {x, x_len, y, y_len, spk} (lrs2_dataset.py:280-286),
+with mel lengths padded to a multiple of 4 for the U-Net
+(fix_len_compatibility, lrs2_dataset.py:252).
+"""
+
+import os
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from facegantts_tpu.config import Config
+from facegantts_tpu.ops.align import fix_len_compatibility
+from facegantts_tpu.train.state import Batch
+
+
+class PackedDataset:
+    """Reads preprocessed shards written by preprocess.py.
+
+    Shard format (.npz): text_flat/text_offsets (ragged int32), mel_flat
+    (n_mels, total_frames) float16/32 + mel_offsets, faces (N, 224, 224, 3)
+    uint8 BGR, spk_ids (N,) int32."""
+
+    def __init__(self, shard_paths: Sequence[str], n_mels: int = 128):
+        self.shards = [np.load(p, allow_pickle=False) for p in shard_paths]
+        self.n_mels = n_mels
+        self.index: List[tuple] = []  # (shard_idx, item_idx)
+        for si, sh in enumerate(self.shards):
+            n = len(sh["spk_ids"])
+            self.index += [(si, i) for i in range(n)]
+
+    def __len__(self):
+        return len(self.index)
+
+    def lengths(self):
+        """(text_len, mel_len) per item — used for bucketing."""
+        out = []
+        for si, i in self.index:
+            sh = self.shards[si]
+            to, mo = sh["text_offsets"], sh["mel_offsets"]
+            out.append((int(to[i + 1] - to[i]), int(mo[i + 1] - mo[i])))
+        return out
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        si, i = self.index[idx]
+        sh = self.shards[si]
+        to, mo = sh["text_offsets"], sh["mel_offsets"]
+        return {
+            "x": sh["text_flat"][to[i] : to[i + 1]].astype(np.int32),
+            "y": sh["mel_flat"][:, mo[i] : mo[i + 1]].astype(np.float32),
+            "spk": sh["faces"][i].astype(np.float32),
+            "spk_id": int(sh["spk_ids"][i]),
+        }
+
+
+class SyntheticDataset:
+    """LRS2-shaped random data: benchmarking and tests without the corpus.
+
+    Mimics the reference distribution: text 30..180 interspersed symbols, mel
+    90..870 frames (1.3s minimum clip per lrs2 filtering), 224x224 faces."""
+
+    def __init__(self, n_items: int = 512, n_mels: int = 128, seed: int = 0,
+                 min_frames: int = 90, max_frames: int = 560):
+        rng = np.random.default_rng(seed)
+        self.n_mels = n_mels
+        self._tlen = rng.integers(30, 180, n_items)
+        self._mlen = rng.integers(min_frames, max_frames, n_items)
+        self._seed = seed
+
+    def __len__(self):
+        return len(self._tlen)
+
+    def lengths(self):
+        return list(zip(self._tlen.tolist(), self._mlen.tolist()))
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        rng = np.random.default_rng(self._seed * 100003 + idx)
+        return {
+            "x": rng.integers(1, 148, self._tlen[idx]).astype(np.int32),
+            "y": (rng.standard_normal((self.n_mels, self._mlen[idx])) - 5.0).astype(np.float32),
+            "spk": (rng.integers(0, 255, (224, 224, 3))).astype(np.float32),
+            "spk_id": int(rng.integers(0, 100)),
+        }
+
+
+def collate(items: List[Dict[str, np.ndarray]], tx_bucket: int, ty_bucket: int) -> Batch:
+    """Zero-pad to static buckets (TextMelVideoBatchCollate parity,
+    lrs2_dataset.py:248-286)."""
+    b = len(items)
+    n_mels = items[0]["y"].shape[0]
+    x = np.zeros((b, tx_bucket), np.int32)
+    y = np.zeros((b, n_mels, ty_bucket), np.float32)
+    spk = np.zeros((b, 224, 224, 3), np.float32)
+    x_len = np.zeros(b, np.int32)
+    y_len = np.zeros(b, np.int32)
+    for i, it in enumerate(items):
+        tl = min(len(it["x"]), tx_bucket)
+        ml = min(it["y"].shape[1], ty_bucket)
+        x[i, :tl] = it["x"][:tl]
+        y[i, :, :ml] = it["y"][:, :ml]
+        spk[i] = it["spk"]
+        x_len[i], y_len[i] = tl, ml
+    import jax.numpy as jnp
+
+    return Batch(
+        x=jnp.asarray(x), x_len=jnp.asarray(x_len), y=jnp.asarray(y),
+        y_len=jnp.asarray(y_len), spk=jnp.asarray(spk),
+    )
+
+
+class BucketedLoader:
+    """Length-bucketed batcher with background prefetch.
+
+    Groups items whose (text, mel) lengths fall in the same static bucket
+    pair so every batch has one of a small set of shapes — each shape
+    compiles once.  Shuffles within buckets each epoch."""
+
+    def __init__(
+        self,
+        dataset,
+        cfg: Config,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = True,
+        prefetch: int = 2,
+    ):
+        self.ds = dataset
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+
+        self.buckets: Dict[tuple, List[int]] = {}
+        for i, (tl, ml) in enumerate(dataset.lengths()):
+            tb = self._pick(tl, cfg.text_buckets)
+            mb = fix_len_compatibility(self._pick(ml, cfg.mel_buckets))
+            self.buckets.setdefault((tb, mb), []).append(i)
+
+    @staticmethod
+    def _pick(n: int, buckets: Sequence[int]) -> int:
+        for b in buckets:
+            if n <= b:
+                return b
+        return buckets[-1]
+
+    def _epoch_plan(self, epoch: int) -> List[tuple]:
+        rng = np.random.default_rng(self.seed + epoch)
+        plan = []
+        for key, idxs in self.buckets.items():
+            idxs = list(idxs)
+            if self.shuffle:
+                rng.shuffle(idxs)
+            for s in range(0, len(idxs), self.batch_size):
+                chunk = idxs[s : s + self.batch_size]
+                if len(chunk) < self.batch_size and self.drop_last:
+                    continue
+                plan.append((key, chunk))
+        if self.shuffle:
+            rng.shuffle(plan)
+        return plan
+
+    def __len__(self):
+        return len(self._epoch_plan(0))
+
+    def epoch(self, epoch: int = 0) -> Iterator[Batch]:
+        plan = self._epoch_plan(epoch)
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def worker():
+            for (tb, mb), chunk in plan:
+                items = [self.ds[i] for i in chunk]
+                q.put(collate(items, tb, mb))
+            q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+
+
+def load_packed(cfg: Config, split: str) -> Optional[PackedDataset]:
+    """Find packed shards for a split under cfg.packed_data_dir."""
+    root = cfg.packed_data_dir
+    if not root:
+        return None
+    paths = sorted(
+        os.path.join(root, f)
+        for f in os.listdir(root)
+        if f.startswith(f"{split}_") and f.endswith(".npz")
+    )
+    if not paths:
+        return None
+    return PackedDataset(paths, n_mels=cfg.n_mels)
+
+
+# Registry parity with reference data/__init__.py:4-6
+_datasets = {"dataset_lrs2": load_packed}

@@ -1,0 +1,99 @@
+"""N-way cross-modal face<->voice retrieval accuracy
+(reference evaluation/acc_measure.py:17-98).
+
+For each trial: one probe voice embedding, N candidate face embeddings (the
+matching speaker + N-1 distractors); retrieval is correct when the matching
+face has the highest cosine similarity.  Reports accuracy over `n_trials`
+random trials both directions (face->voice and voice->face).
+
+Usage:
+  python -m facegantts_tpu.evaluation.acc_measure packed_data_dir=... \
+      [n_way=5] [n_trials=100] [syncnet_ckpt=...]
+"""
+
+import sys
+from typing import Callable, Dict, Sequence
+
+import numpy as np
+
+from facegantts_tpu.config import default_config, parse_cli_overrides
+
+
+def retrieval_accuracy(
+    voice_embs: np.ndarray,
+    face_embs: np.ndarray,
+    n_way: int = 5,
+    n_trials: int = 100,
+    seed: int = 37,
+) -> Dict[str, float]:
+    """voice_embs/face_embs: (N, D) paired by row (same speaker per row)."""
+    n = len(voice_embs)
+    assert n >= n_way, f"need at least n_way={n_way} items, have {n}"
+    v = voice_embs / (np.linalg.norm(voice_embs, axis=1, keepdims=True) + 1e-8)
+    f = face_embs / (np.linalg.norm(face_embs, axis=1, keepdims=True) + 1e-8)
+    rng = np.random.default_rng(seed)
+    correct_v2f = correct_f2v = 0
+    for _ in range(n_trials):
+        cand = rng.choice(n, size=n_way, replace=False)
+        probe = cand[0]
+        sims_v2f = f[cand] @ v[probe]
+        correct_v2f += int(np.argmax(sims_v2f) == 0)
+        sims_f2v = v[cand] @ f[probe]
+        correct_f2v += int(np.argmax(sims_f2v) == 0)
+    return {
+        "voice_to_face_acc": correct_v2f / n_trials,
+        "face_to_voice_acc": correct_f2v / n_trials,
+        "n_way": float(n_way),
+        "n_trials": float(n_trials),
+    }
+
+
+def embed_dataset(dataset, syncnet_vid: Callable, syncnet_aud: Callable, limit: int = 200):
+    """Compute paired (voice, face) embeddings over dataset items."""
+    v, f = [], []
+    for i in range(min(limit, len(dataset))):
+        item = dataset[i]
+        mel = item["y"][None, :, :, None]
+        face = item["spk"][None]
+        v.append(np.asarray(syncnet_aud(mel)).mean(axis=1)[0])
+        f.append(np.asarray(syncnet_vid(face))[0])
+    return np.stack(v), np.stack(f)
+
+
+def main(argv=None):
+    overrides = parse_cli_overrides(argv if argv is not None else sys.argv[1:])
+    n_way = int(overrides.pop("n_way", 5))
+    n_trials = int(overrides.pop("n_trials", 100))
+    cfg = default_config(overrides=overrides)
+
+    import jax
+    import jax.numpy as jnp
+
+    from facegantts_tpu.data import SyntheticDataset, load_packed
+    from facegantts_tpu.models.syncnet import SyncNet
+    from facegantts_tpu.train import checkpoint as ck
+
+    ds = load_packed(cfg, "test") or SyntheticDataset(64, cfg.n_mels)
+    model = SyncNet(n_out=cfg.vid_emb_dim, stride=cfg.syncnet_stride)
+    import os
+
+    if cfg.syncnet_ckpt and os.path.exists(cfg.syncnet_ckpt):
+        params, stats = ck.import_syncnet_checkpoint(cfg.syncnet_ckpt)
+        variables = {"params": params, "batch_stats": stats}
+    else:
+        print("[WARN] no syncnet_ckpt — random embedder, accuracy ~ chance")
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, cfg.n_mels, 32, 1)),
+            jnp.zeros((1, 224, 224, 3)),
+        )
+
+    aud = jax.jit(lambda m: model.apply(variables, m, method=SyncNet.forward_aud))
+    vid = jax.jit(lambda f: model.apply(variables, f, method=SyncNet.forward_vid))
+    v, f = embed_dataset(ds, vid, aud)
+    results = retrieval_accuracy(v, f, n_way, n_trials, cfg.seed)
+    for k, val in results.items():
+        print(f"{k}: {val:.4f}")
+
+
+if __name__ == "__main__":
+    main()

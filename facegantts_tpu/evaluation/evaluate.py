@@ -1,0 +1,128 @@
+"""Objective evaluation CLI (reference evaluation/eval.py:123-279).
+
+Pairs generated and ground-truth wavs by relative path, computes speaker
+similarity / log-F0 RMSE / MCD / LSD and the normalized composite, writes
+`eval_output.txt` in the exact key:value format the reference's callbacks
+and hyperopt harness parse.
+
+Usage:
+  python -m facegantts_tpu.evaluation.evaluate output_dir=<gen_wavs> \
+      ground_truth_dir=<gt_wavs> [results_path=evaluation] [syncnet_ckpt=...]
+"""
+
+import os
+import sys
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from facegantts_tpu.config import Config, default_config, parse_cli_overrides
+from facegantts_tpu.evaluation import metrics as M
+from facegantts_tpu.utils.audio import load_wav
+
+
+def find_wavs(root: str) -> List[str]:
+    out = []
+    for base, _, files in os.walk(root):
+        out += [os.path.join(base, f) for f in files if f.endswith(".wav")]
+    return sorted(out)
+
+
+def _mel(wav: np.ndarray, cfg: Config) -> np.ndarray:
+    from facegantts_tpu.ops.mel import mel_spectrogram
+
+    return np.asarray(
+        mel_spectrogram(
+            wav[None], cfg.n_fft, cfg.n_mels, cfg.sample_rate, cfg.hop_len,
+            cfg.win_len, cfg.f_min, cfg.f_max,
+        )[0]
+    )
+
+
+def build_syncnet_apply(cfg: Config):
+    """SyncNet forward_aud as a plain callable (random init if no ckpt —
+    similarity numbers are then only self-consistent, like the reference
+    without its pretrained syncnet)."""
+    import jax
+    import jax.numpy as jnp
+
+    from facegantts_tpu.models.syncnet import SyncNet
+    from facegantts_tpu.train import checkpoint as ck
+
+    model = SyncNet(n_out=cfg.vid_emb_dim, stride=cfg.syncnet_stride)
+    if cfg.syncnet_ckpt and os.path.exists(cfg.syncnet_ckpt):
+        params, stats = ck.import_syncnet_checkpoint(cfg.syncnet_ckpt)
+        variables = {"params": params, "batch_stats": stats}
+    else:
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, cfg.n_mels, 32, 1)),
+            method=SyncNet.forward_aud,
+        )
+
+    @jax.jit
+    def apply(mel):
+        return model.apply(variables, mel, method=SyncNet.forward_aud)
+
+    return apply
+
+
+def evaluate_pairs(
+    gen_dir: str, gt_dir: str, cfg: Config, max_files: Optional[int] = None
+) -> Dict[str, float]:
+    gen_wavs = find_wavs(gen_dir)
+    if max_files:
+        gen_wavs = gen_wavs[:max_files]
+    syncnet_apply = build_syncnet_apply(cfg)
+
+    sims, f0s, mcds, lsds = [], [], [], []
+    n_paired = 0
+    for gw in gen_wavs:
+        rel = os.path.relpath(gw, gen_dir)
+        gt = os.path.join(gt_dir, rel)
+        if not os.path.exists(gt):
+            continue
+        n_paired += 1
+        gen, sr_g = load_wav(gw)
+        ref, sr_r = load_wav(gt)
+        _, sim = M.speaker_similarity(syncnet_apply, _mel(ref, cfg), _mel(gen, cfg))
+        sims.append(sim)
+        f0s.append(M.log_f0_rmse(ref, gen, cfg.sample_rate))
+        mcds.append(M.mcd(ref, gen, cfg.sample_rate))
+        lsds.append(M.log_spectral_distance(ref, gen, cfg.n_fft, cfg.hop_len))
+
+    if n_paired == 0:
+        raise SystemExit(f"no paired wavs between {gen_dir} and {gt_dir}")
+
+    mean = lambda v: float(np.mean(v))  # noqa: E731
+    results = {
+        "Composite Metric": M.composite_metric(
+            mean(sims), mean(f0s), mean(mcds), mean(lsds)
+        ),
+        "Speaker Similarity": mean(sims),
+        "F0 RMSE": mean(f0s),
+        "MCD": mean(mcds),
+        "STFT Distance": mean(lsds),
+        "Paired Files": float(n_paired),
+    }
+    return results
+
+
+def main(argv=None):
+    overrides = parse_cli_overrides(argv if argv is not None else sys.argv[1:])
+    max_files = overrides.pop("max_files", None)
+    cfg = default_config(overrides=overrides)
+    results = evaluate_pairs(
+        cfg.output_dir, cfg.ground_truth_dir, cfg,
+        int(max_files) if max_files else None,
+    )
+    print("######## Evaluation Results ########")
+    text = M.format_eval_output(results)
+    print(text)
+    out_dir = os.getenv("DYNAMIC_EVAL_PATH", cfg.results_path)
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "eval_output.txt"), "w") as f:
+        f.write(text)
+
+
+if __name__ == "__main__":
+    main()

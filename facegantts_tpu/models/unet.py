@@ -1,0 +1,186 @@
+"""U-Net score estimator for the diffusion decoder.
+
+Re-design of the reference GradLogPEstimator2d and its blocks
+(model/diffusion.py:33-148, model/baseblock.py:9-104) in NHWC layout —
+(batch, freq, time, channels) — the native TPU conv layout, so every conv
+lands on the MXU without layout transposes.  Mask shape is (B, 1, T, 1):
+broadcast over frequency and channels.
+"""
+
+import math
+from typing import Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from facegantts_tpu.ops.convt import conv_transpose
+
+
+def mish(x):
+    return x * jnp.tanh(nn.softplus(x))
+
+
+def timestep_embedding(t: jnp.ndarray, dim: int, scale: float = 1000.0) -> jnp.ndarray:
+    """Sinusoidal positions for diffusion time (reference diffusion.py:19-30)."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(10000.0) * jnp.arange(half) / (half - 1))
+    args = scale * t[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+
+
+class Block(nn.Module):
+    """conv3x3 -> GroupNorm(8) -> Mish, masked (reference baseblock.py:42-51)."""
+
+    dim_out: int
+    groups: int = 8
+
+    @nn.compact
+    def __call__(self, x, mask):
+        x = nn.Conv(self.dim_out, (3, 3), padding="SAME", name="conv")(x * mask)
+        x = nn.GroupNorm(num_groups=self.groups, name="norm")(x)
+        return mish(x) * mask
+
+
+class ResnetBlock(nn.Module):
+    """Two Blocks with a time-embedding injection and residual conv
+    (reference baseblock.py:54-71)."""
+
+    dim_out: int
+    groups: int = 8
+
+    @nn.compact
+    def __call__(self, x, mask, time_emb):
+        h = Block(self.dim_out, self.groups, name="block1")(x, mask)
+        temb = nn.Dense(self.dim_out, name="mlp")(mish(time_emb))
+        h = h + temb[:, None, None, :]
+        h = Block(self.dim_out, self.groups, name="block2")(h, mask)
+        if x.shape[-1] != self.dim_out:
+            res = nn.Conv(self.dim_out, (1, 1), name="res_conv")(x * mask)
+        else:
+            res = x * mask
+        return h + res
+
+
+class LinearAttention(nn.Module):
+    """Softmax-key linear attention over the (freq*time) grid
+    (reference baseblock.py:74-94)."""
+
+    heads: int = 4
+    dim_head: int = 32
+
+    @nn.compact
+    def __call__(self, x):
+        b, f, t, c = x.shape
+        hidden = self.heads * self.dim_head
+        qkv = nn.Conv(hidden * 3, (1, 1), use_bias=False, name="to_qkv")(x)
+        qkv = qkv.reshape(b, f * t, 3, self.heads, self.dim_head)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, D)
+        k = nn.softmax(k, axis=1)  # softmax over spatial positions
+        context = jnp.einsum("bnhd,bnhe->bhde", k, v, preferred_element_type=jnp.float32)
+        out = jnp.einsum("bhde,bnhd->bnhe", context, q, preferred_element_type=jnp.float32)
+        out = out.reshape(b, f, t, hidden)
+        return nn.Conv(c, (1, 1), name="to_out")(out)
+
+
+class RezeroAttention(nn.Module):
+    """x + g * LinearAttention(x), g zero-init (baseblock.py:32-39,97-104)."""
+
+    heads: int = 4
+    dim_head: int = 32
+
+    @nn.compact
+    def __call__(self, x):
+        g = self.param("g", nn.initializers.zeros, (1,))
+        return x + LinearAttention(self.heads, self.dim_head, name="fn")(x) * g
+
+
+class Downsample(nn.Module):
+    """conv3x3 stride-2 over (freq, time) (baseblock.py:23-29)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.dim, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)), name="conv")(x)
+
+
+class Upsample(nn.Module):
+    """transposed conv k4 s2 doubling (freq, time) (baseblock.py:14-20),
+    torch ConvTranspose2d(4, 2, 1) semantics for weight-import parity."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (4, 4, x.shape[-1], self.dim),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return conv_transpose(x, kernel, (2, 2), (1, 1)) + bias
+
+
+class GradLogPEstimator2d(nn.Module):
+    """Score-estimator U-Net (reference model/diffusion.py:33-148).
+
+    Inputs are stacked as channels of an NHWC image: [mu, x_t, spk-bias] ->
+    (B, n_feats, T, 3); three resolution levels with dims dim*(1,2,4);
+    linear-attention residuals at every level; output is the predicted score
+    (B, n_feats, T)."""
+
+    dim: int
+    dim_mults: Sequence[int] = (1, 2, 4)
+    groups: int = 8
+    multi_spks: int = 1
+    spk_emb_dim: int = 512
+    n_feats: int = 128
+    pe_scale: float = 1000.0
+
+    @nn.compact
+    def __call__(self, x, mask, mu, t, spk=None):
+        # x, mu: (B, F, T); mask: (B, 1, T); t: (B,); spk: (B, spk_emb_dim)
+        temb = timestep_embedding(t, self.dim, self.pe_scale)
+        temb = nn.Dense(self.dim * 4, name="mlp_1")(temb)
+        temb = nn.Dense(self.dim, name="mlp_2")(mish(temb))
+
+        if self.multi_spks:
+            s = nn.Dense(self.spk_emb_dim * 4, name="spk_mlp_1")(spk)
+            s = nn.Dense(self.n_feats, name="spk_mlp_2")(mish(s))
+            s_map = jnp.broadcast_to(s[:, :, None], (*s.shape, x.shape[-1]))
+            h = jnp.stack([mu, x, s_map], axis=-1)  # (B, F, T, 3)
+        else:
+            h = jnp.stack([mu, x], axis=-1)
+
+        mask4 = mask[:, :, :, None]  # (B, 1, T, 1)
+        dims = [self.dim * m for m in self.dim_mults]
+        num_res = len(dims)
+
+        hiddens = []
+        masks = [mask4]
+        for i, d in enumerate(dims):
+            m = masks[-1]
+            h = ResnetBlock(d, self.groups, name=f"down_{i}_res1")(h, m, temb)
+            h = ResnetBlock(d, self.groups, name=f"down_{i}_res2")(h, m, temb)
+            h = RezeroAttention(name=f"down_{i}_attn")(h)
+            hiddens.append(h)
+            if i < num_res - 1:
+                h = Downsample(d, name=f"down_{i}_ds")(h * m)
+                masks.append(m[:, :, ::2])
+
+        m_mid = masks[-1]
+        h = ResnetBlock(dims[-1], self.groups, name="mid_res1")(h, m_mid, temb)
+        h = RezeroAttention(name="mid_attn")(h)
+        h = ResnetBlock(dims[-1], self.groups, name="mid_res2")(h, m_mid, temb)
+
+        for j, i in enumerate(range(num_res - 1, 0, -1)):
+            m = masks.pop()
+            h = jnp.concatenate([h, hiddens.pop()], axis=-1)
+            h = ResnetBlock(dims[i - 1], self.groups, name=f"up_{j}_res1")(h, m, temb)
+            h = ResnetBlock(dims[i - 1], self.groups, name=f"up_{j}_res2")(h, m, temb)
+            h = RezeroAttention(name=f"up_{j}_attn")(h)
+            h = Upsample(dims[i - 1], name=f"up_{j}_us")(h * m)
+
+        h = Block(self.dim, self.groups, name="final_block")(h, mask4)
+        out = nn.Conv(1, (1, 1), name="final_conv")(h * mask4)
+        return (out * mask4)[..., 0]  # (B, F, T)

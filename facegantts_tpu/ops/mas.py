@@ -63,10 +63,12 @@ def maximum_path(value: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
         v = jnp.where(valid, v, _NEG)
         return v, v
 
-    v0 = jnp.full((b, t_x), _NEG, dtype=jnp.float32)
+    # derive the initial carry from the input so its varying-axes type
+    # matches inside shard_map (see shard_map scan-vma docs)
+    v0 = jnp.full_like(cols[0], _NEG)
     _, vals = jax.lax.scan(fwd, v0, (cols, jnp.arange(t_y, dtype=jnp.int32)))
     # vals: (T_y, B, T_x); prev-column view for backtracking comparisons
-    vals_prev = jnp.concatenate([jnp.full((1, b, t_x), _NEG), vals[:-1]], axis=0)
+    vals_prev = jnp.concatenate([jnp.full_like(vals[:1], _NEG), vals[:-1]], axis=0)
 
     # ---- backtracking: reverse scan carrying the current text index ----
     batch_idx = jnp.arange(b)

@@ -1,0 +1,164 @@
+"""End-to-end synthesis pipeline: text + face image -> 16 kHz waveform.
+
+Library equivalent of the reference's inference entry (inference.py:22-185):
+face -> SyncNet embedding, text -> interspersed symbol IDs, FaceTTS
+encode/decode, HiFi-GAN vocoder.  TPU-first: static shape buckets per
+(text-length, mel-length) pair; each bucket compiles once and is cached.
+"""
+
+from functools import lru_cache
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from facegantts_tpu.config import Config
+from facegantts_tpu.models.facetts import FaceTTS
+from facegantts_tpu.models.hifigan import HiFiGANGenerator
+from facegantts_tpu.ops.align import fix_len_compatibility
+from facegantts_tpu.text import CMUDict, intersperse, text_to_sequence
+
+
+def load_face(path: str, image_size: int = 224) -> np.ndarray:
+    """PNG/JPG -> (H, W, 3) float32 in BGR channel order, 0..255 scale.
+
+    The reference feeds raw cv2.imread output (BGR, uint8 0..255) straight
+    into SyncNet (inference.py:90-93); we reproduce that convention so
+    pretrained weights see the same distribution."""
+    from PIL import Image
+
+    img = Image.open(path).convert("RGB").resize((image_size, image_size), Image.BILINEAR)
+    rgb = np.asarray(img, dtype=np.float32)
+    return rgb[..., ::-1].copy()  # -> BGR
+
+
+def pick_bucket(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return fix_len_compatibility(n)
+
+
+class Synthesizer:
+    """Holds model/vocoder params and compiled per-bucket programs."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        params=None,
+        vocoder_params=None,
+        cmudict: Optional[CMUDict] = None,
+        seed: int = 0,
+    ):
+        self.cfg = cfg
+        self.model = FaceTTS.from_config(cfg)
+        self.vocoder = HiFiGANGenerator(in_channels=cfg.n_mels)
+        self.cmu = cmudict
+        rng = jax.random.PRNGKey(seed)
+        if params is None:
+            # random init — runs the full pipeline without checkpoints.
+            # `params` is the full variables dict (params + batch_stats).
+            x = jnp.ones((1, 8), jnp.int32)
+            params = self.model.init(
+                rng, x, jnp.array([8]), 2, 16, 1.0, False,
+                jnp.zeros((1, 224, 224, 3)), 1.0, rng,
+            )
+        if vocoder_params is None:
+            vocoder_params = self.vocoder.init(rng, jnp.zeros((1, cfg.n_mels, 16)))[
+                "params"
+            ]
+        self.params = params
+        self.vocoder_params = vocoder_params
+
+    # ------------------------------------------------------------ compiled
+    @lru_cache(maxsize=None)
+    def _encode_fn(self, tx: int):
+        def fn(variables, x, x_len, face):
+            return self.model.apply(
+                variables, x, x_len, face, self.cfg.length_scale,
+                method=FaceTTS.encode,
+            )
+
+        return jax.jit(fn)
+
+    @lru_cache(maxsize=None)
+    def _decode_fn(self, tx: int, ty: int, n_timesteps: int, temperature: float, stoc: bool):
+        def fn(variables, mu_x, w_ceil, x_mask, y_lengths, spk_e, rng):
+            return self.model.apply(
+                variables, mu_x, w_ceil, x_mask, y_lengths, spk_e,
+                n_timesteps, ty, temperature, stoc, rng,
+                method=FaceTTS.decode,
+            )
+
+        return jax.jit(fn)
+
+    @lru_cache(maxsize=None)
+    def _vocode_fn(self, ty: int):
+        def fn(params, mel):
+            return self.vocoder.apply({"params": params}, mel)
+
+        return jax.jit(fn)
+
+    # ------------------------------------------------------------- public
+    def encode_text(self, text: str) -> np.ndarray:
+        seq = text_to_sequence(text, dictionary=self.cmu)
+        if self.cfg.add_blank:
+            seq = intersperse(seq)
+        return np.asarray(seq, dtype=np.int32)
+
+    def synthesize(
+        self,
+        text: str,
+        face: np.ndarray,
+        n_timesteps: Optional[int] = None,
+        temperature: Optional[float] = None,
+        stoc: bool = False,
+        seed: int = 0,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """One utterance -> (waveform float32 [-1,1], log-mel (n_mels, T))."""
+        cfg = self.cfg
+        n_timesteps = n_timesteps or cfg.timesteps
+        temperature = cfg.temperature if temperature is None else temperature
+
+        ids = self.encode_text(text)
+        tx = pick_bucket(len(ids), cfg.text_buckets)
+        x = np.zeros((1, tx), np.int32)
+        x[0, : len(ids)] = ids
+        x_len = np.array([len(ids)], np.int32)
+        face_b = face[None].astype(np.float32)
+
+        mu_x, w_ceil, x_mask, y_lengths, spk_e = self._encode_fn(tx)(
+            self.params, jnp.asarray(x), jnp.asarray(x_len), jnp.asarray(face_b)
+        )
+        ty = pick_bucket(
+            int(np.ceil(float(y_lengths[0]))), cfg.mel_buckets
+        )
+        rng = jax.random.PRNGKey(seed)
+        _, dec, _, y_len = self._decode_fn(tx, ty, n_timesteps, temperature, stoc)(
+            self.params, mu_x, w_ceil, x_mask, y_lengths, spk_e, rng
+        )
+        n_frames = int(y_len[0])
+        wav = self._vocode_fn(ty)(self.vocoder_params, dec)
+        wav = np.asarray(wav[0])[: n_frames * self.cfg.hop_len]
+        mel = np.asarray(dec[0])[:, :n_frames]
+        return np.clip(wav, -1.0, 1.0), mel
+
+    def synthesize_file(
+        self, texts: List[str], face_path: str, out_dir: str, tag: str = "face", **kw
+    ) -> List[str]:
+        """Reference batch mode: list of sentences x one face -> wav files
+        (inference.py:162-185 naming: {tag}_sample_{i}.wav)."""
+        import os
+
+        from facegantts_tpu.utils.audio import save_wav
+
+        face = load_face(face_path, self.cfg.image_size)
+        os.makedirs(out_dir, exist_ok=True)
+        paths = []
+        for i, text in enumerate(texts):
+            wav, _ = self.synthesize(text, face, **kw)
+            p = os.path.join(out_dir, f"{tag}_sample_{i}.wav")
+            save_wav(p, wav, self.cfg.sample_rate)
+            paths.append(p)
+        return paths

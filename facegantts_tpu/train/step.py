@@ -1,0 +1,437 @@
+"""Jitted training steps.
+
+One fused XLA program per optimizer step — the TPU redesign of the
+reference's Lightning loops:
+
+- plain step = FaceTTS losses + grad + clip + Adam (reference
+  face_tts.py:243-279, train.py:132-143).
+- GAN step = micro-batched D phase (hinge/BCE/MSE + optional R1
+  gradient penalty, NaN-guarded) and G phase (adversarial + FaceTTS losses),
+  two optimizers, one jit (reference face_tts_w_discriminator.py:127-349).
+
+Parallelism: the whole loss/grad computation runs inside `shard_map` over
+the 1-D `data` mesh — every device scans its LOCAL micro-batches with purely
+local math, then gradients/metrics are `pmean`-ed ONCE after the scan, and
+the (replicated) optimizer update happens outside.  This places the
+all-reduce explicitly at the top level of the program: collectives inside a
+While loop deadlock XLA:CPU's rendezvous and are wasteful on TPU; per-device
+local loss normalization + gradient mean is exactly DDP's semantics
+(reference train.py:132-143).
+
+Key behavioral facts carried over (and exploited):
+- The reference's `FaceTTS.forward` is @torch.no_grad (face_tts.py:92), so
+  its G-phase adversarial/fm terms carry NO generator gradient.  We
+  therefore sample each micro-batch's fake mel ONCE and reuse it for both D
+  and G phases — identical training dynamics at half the sampler cost.
+  cfg.adv_grad_through_sampler=1 instead differentiates through the
+  (rematerialized) reverse scan.
+- Micro-batch gradients are averaged by n_micro with non-finite-loss
+  micro-batches contributing zero, matching the reference's NaN skip
+  (face_tts_w_discriminator.py:203-207).
+- The GAN G-phase runs compute_loss at full length (out_size=None), like the
+  reference (face_tts_w_discriminator.py:285-287); the plain step crops to
+  the static 2-second out_size.
+"""
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from facegantts_tpu.config import Config
+from facegantts_tpu.models.discriminator import SpectrogramDiscriminator
+from facegantts_tpu.models.facetts import FaceTTS
+from facegantts_tpu.parallel.mesh import create_mesh
+from facegantts_tpu.train.optim import (
+    build_discriminator_optimizer,
+    build_gan_generator_optimizer,
+    build_generator_optimizer,
+)
+from facegantts_tpu.train.state import Batch, TrainState
+
+
+def build_models(cfg: Config):
+    model = FaceTTS.from_config(cfg)
+    disc = SpectrogramDiscriminator(
+        base_channels=cfg.disc_base_channels,
+        num_layers=cfg.disc_num_layers,
+        kernel_height=cfg.kernel_height,
+        kernel_width=cfg.kernel_width,
+        stride=cfg.disc_stride,
+        padding=cfg.disc_padding,
+        lrelu_slope=cfg.disc_lrelu_slope,
+        use_spectral_norm=cfg.use_spectral_norm,
+        multi_speaker=cfg.multi_spks,
+        residual_channels=cfg.residual_channels,
+    )
+    return model, disc
+
+
+def init_state(cfg: Config, rng: jax.Array, batch: Batch) -> TrainState:
+    """Initialize parameters and optimizer states from one example batch."""
+    model, disc = build_models(cfg)
+    rng_p, rng_l, rng_d = jax.random.split(rng, 3)
+    variables = model.init(
+        rng_p, rng_l, batch.x, batch.x_len, batch.y, batch.y_len, batch.spk,
+        cfg.out_size, method=FaceTTS.compute_loss,
+    )
+    params = variables["params"]
+    model_state = {k: v for k, v in variables.items() if k != "params"}
+    if cfg.use_gan:
+        disc_params = disc.init(rng_d, batch.y[..., None])["params"]
+        gen_tx = build_gan_generator_optimizer(cfg, params)
+        disc_tx = build_discriminator_optimizer(cfg)
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=gen_tx.init(params),
+            model_state=model_state,
+            disc_params=disc_params,
+            disc_opt_state=disc_tx.init(disc_params),
+        )
+    gen_tx = build_generator_optimizer(cfg, params)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32), params=params,
+        opt_state=gen_tx.init(params), model_state=model_state,
+    )
+
+
+# --------------------------------------------------------------------------
+# adversarial criteria (reference face_tts_w_discriminator.py:37-54,168-176)
+# --------------------------------------------------------------------------
+
+def _disc_loss(loss_type: str, real_logits, fake_logits):
+    if loss_type == "hinge":
+        return jnp.mean(jax.nn.relu(1.0 - real_logits)) + jnp.mean(
+            jax.nn.relu(1.0 + fake_logits)
+        )
+    if loss_type == "mse":
+        return 0.5 * (
+            jnp.mean((real_logits - 1.0) ** 2) + jnp.mean(fake_logits**2)
+        )
+    # bce with logits
+    return 0.5 * (
+        jnp.mean(optax.sigmoid_binary_cross_entropy(real_logits, jnp.ones_like(real_logits)))
+        + jnp.mean(optax.sigmoid_binary_cross_entropy(fake_logits, jnp.zeros_like(fake_logits)))
+    )
+
+
+def _gen_adv_loss(loss_type: str, fake_logits):
+    if loss_type == "hinge":
+        return -jnp.mean(fake_logits)
+    if loss_type == "mse":
+        return jnp.mean((fake_logits - 1.0) ** 2)
+    return jnp.mean(
+        optax.sigmoid_binary_cross_entropy(fake_logits, jnp.ones_like(fake_logits))
+    )
+
+
+def _disc_accuracy(loss_type: str, real_logits, fake_logits):
+    if loss_type == "hinge":
+        return 0.5 * ((real_logits > 0).mean() + (fake_logits < 0).mean())
+    return 0.5 * (
+        (jax.nn.sigmoid(real_logits) > 0.5).mean()
+        + (jax.nn.sigmoid(fake_logits) < 0.5).mean()
+    )
+
+
+def _feature_matching(real_fmap, fake_fmap):
+    fm = 0.0
+    for r, f in zip(real_fmap, fake_fmap):
+        fm += jnp.mean(jnp.abs(r - f))
+    return fm
+
+
+def _micro_split(batch: Batch, mb_size: int):
+    """(B_local, ...) -> (n_micro, mb, ...), n_micro inferred; B_local must be
+    a multiple of mb_size (or smaller than it)."""
+    b = batch.x.shape[0]
+    n = max(1, b // mb_size) if b >= mb_size else 1
+    return n, jax.tree.map(lambda a: a.reshape(n, b // n, *a.shape[1:]), batch)
+
+
+def _device_rng(rng):
+    return jax.random.fold_in(rng, jax.lax.axis_index("data"))
+
+
+# --------------------------------------------------------------------------
+# step factories
+# --------------------------------------------------------------------------
+
+def make_plain_train_step(cfg: Config, mesh: Optional[Mesh] = None):
+    """No-GAN training step (reference face_tts.py:243-279)."""
+    model, _ = build_models(cfg)
+    mesh = mesh if mesh is not None else create_mesh()
+    gen_tx = None  # built lazily against the param tree
+
+    def loss_fn(params, model_state, batch: Batch, rng):
+        parts, _ = model.apply(
+            {"params": params, **model_state}, rng, batch.x, batch.x_len,
+            batch.y, batch.y_len, batch.spk, cfg.out_size,
+            method=FaceTTS.compute_loss,
+        )
+        metrics = {
+            "duration_loss": parts.dur_loss,
+            "prior_loss": parts.prior_loss,
+            "diffusion_loss": parts.diff_loss,
+            "spk_loss": parts.spk_loss,
+            "total_loss": parts.total,
+        }
+        return parts.total, metrics
+
+    def local_grads(params, model_state, batch, rng):
+        rng = _device_rng(rng)
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, model_state, batch, rng
+        )
+        return (
+            jax.lax.pmean(grads, "data"),
+            jax.lax.pmean(metrics, "data"),
+        )
+
+    def local_metrics(params, model_state, batch, rng):
+        rng = _device_rng(rng)
+        _, metrics = loss_fn(params, model_state, batch, rng)
+        return jax.lax.pmean(metrics, "data")
+
+    grads_sm = jax.shard_map(
+        local_grads, mesh=mesh,
+        in_specs=(P(), P(), P("data"), P()), out_specs=(P(), P()),
+    )
+    val_sm = jax.shard_map(
+        local_metrics, mesh=mesh,
+        in_specs=(P(), P(), P("data"), P()), out_specs=P(),
+    )
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch: Batch, rng) -> Tuple[TrainState, Dict]:
+        nonlocal gen_tx
+        if gen_tx is None:
+            gen_tx = build_generator_optimizer(cfg, state.params)
+        grads, metrics = grads_sm(state.params, state.model_state, batch, rng)
+        updates, opt_state = gen_tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return state.replace(step=state.step + 1, params=params, opt_state=opt_state), metrics
+
+    @jax.jit
+    def val_step(state: TrainState, batch: Batch, rng) -> Dict:
+        return val_sm(state.params, state.model_state, batch, rng)
+
+    return train_step, val_step
+
+
+def make_gan_train_step(cfg: Config, mesh: Optional[Mesh] = None):
+    """GAN training step (reference face_tts_w_discriminator.py:127-349).
+
+    Static flags: train_disc (epoch >= warmup_disc_epochs), train_gen
+    (epoch >= freeze_gen_epochs), use_r1 (epoch >= r1_start_epoch).
+    cfg.micro_batch_size is the PER-DEVICE micro-batch (reference: per-GPU,
+    config.py:112)."""
+    model, disc = build_models(cfg)
+    mesh = mesh if mesh is not None else create_mesh()
+    gen_tx = None
+    disc_tx = build_discriminator_optimizer(cfg)
+    loss_type = cfg.disc_loss_type
+
+    def sample_fake(params, model_state, mb: Batch, rng):
+        y_bucket = mb.y.shape[-1]
+        _, dec, _, _ = model.apply(
+            {"params": params, **model_state}, mb.x, mb.x_len, cfg.timesteps,
+            y_bucket, 1.0, False, mb.spk, 1.0, rng,
+        )
+        return dec  # (B, F, T)
+
+    def d_loss_fn(disc_params, y_real, fake, use_r1: bool):
+        _, real_logits = disc.apply({"params": disc_params}, y_real[..., None])
+        _, fake_logits = disc.apply({"params": disc_params}, fake[..., None])
+        d_loss = _disc_loss(loss_type, real_logits, fake_logits)
+        acc = _disc_accuracy(loss_type, real_logits, fake_logits)
+        r1 = 0.0
+        if use_r1:
+            def logits_sum(y_in):
+                return disc.apply({"params": disc_params}, y_in)[1].sum()
+
+            g = jax.grad(logits_sum)(y_real[..., None])
+            r1 = jnp.mean(jnp.sum(g**2, axis=(1, 2, 3)))
+            d_loss = d_loss + cfg.r1_gamma * 0.5 * r1
+        return d_loss, {"disc_acc": acc, "r1_penalty": r1}
+
+    def g_loss_fn(params, model_state, disc_params, mb: Batch, fake, rng, train_disc: bool):
+        if cfg.adv_grad_through_sampler:
+            rng, rng_s = jax.random.split(rng)
+            fake = sample_fake(params, model_state, mb, rng_s)
+        if train_disc:
+            fake_fmap, fake_logits = disc.apply({"params": disc_params}, fake[..., None])
+            adv = _gen_adv_loss(loss_type, fake_logits)
+        else:
+            fake_fmap, adv = None, jnp.zeros(())
+        fm = jnp.zeros(())
+        if cfg.use_fm_loss and train_disc:
+            real_fmap, _ = disc.apply({"params": disc_params}, mb.y[..., None])
+            fm = _feature_matching(jax.lax.stop_gradient(real_fmap), fake_fmap)
+        # GAN G-phase: full-length losses (out_size=None), reference :285-287
+        parts, _ = model.apply(
+            {"params": params, **model_state}, rng, mb.x, mb.x_len, mb.y,
+            mb.y_len, mb.spk, None, method=FaceTTS.compute_loss,
+        )
+        g_loss = (
+            cfg.lambda_adv * adv
+            + parts.dur_loss + parts.prior_loss + parts.diff_loss + parts.spk_loss
+            + cfg.use_fm_loss * fm
+        )
+        metrics = {
+            "adv_loss": adv,
+            "fm_loss": fm,
+            "duration_loss": parts.dur_loss,
+            "prior_loss": parts.prior_loss,
+            "diffusion_loss": parts.diff_loss,
+            "spk_loss": parts.spk_loss,
+            "g_loss": g_loss,
+        }
+        return g_loss, metrics
+
+    def local_gan_grads(
+        params, model_state, disc_params, batch, rng,
+        train_disc: bool, use_r1: bool,
+    ):
+        """Per-device: scan local micro-batches, return pmean'd grad sums."""
+        rng = _device_rng(rng)
+        n_micro, micro = _micro_split(batch, cfg.micro_batch_size)
+        rngs = jax.random.split(rng, n_micro)
+        # grad accumulators are data-varying (per-device partial sums): mark
+        # them so the scan carry types match inside shard_map
+        pvary = lambda t: jax.tree.map(  # noqa: E731
+            lambda a: jax.lax.pvary(jnp.zeros_like(a), ("data",)), t
+        )
+        zero_d = pvary(disc_params)
+        zero_g = pvary(params)
+
+        def micro_body(carry, inp):
+            d_acc, g_acc = carry
+            mb, mrng = inp
+            rng_fake, rng_g = jax.random.split(mrng)
+            fake = sample_fake(params, model_state, mb, rng_fake)  # no G grad
+            metrics = {}
+            if train_disc:
+                (d_loss, d_m), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
+                    disc_params, mb.y, fake, use_r1
+                )
+                ok = jnp.isfinite(d_loss)
+                d_grads = jax.tree.map(lambda g: jnp.where(ok, g, 0.0), d_grads)
+                d_acc = jax.tree.map(jnp.add, d_acc, d_grads)
+                metrics.update(d_m)
+                metrics["d_loss"] = jnp.where(ok, d_loss, 0.0)
+                metrics["d_nan_skipped"] = (~ok).astype(jnp.float32)
+            else:
+                metrics["d_loss"] = jnp.zeros(())
+                metrics["disc_acc"] = jnp.zeros(())
+                metrics["r1_penalty"] = jnp.zeros(())
+                metrics["d_nan_skipped"] = jnp.zeros(())
+            (_, g_m), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+                params, model_state, disc_params, mb, fake, rng_g, train_disc
+            )
+            g_acc = jax.tree.map(jnp.add, g_acc, g_grads)
+            metrics.update(g_m)
+            return (d_acc, g_acc), metrics
+
+        (d_grads, g_grads), metrics = jax.lax.scan(
+            micro_body, (zero_d, zero_g), (micro, rngs)
+        )
+        inv = 1.0 / n_micro
+        d_grads = jax.lax.pmean(jax.tree.map(lambda g: g * inv, d_grads), "data")
+        g_grads = jax.lax.pmean(jax.tree.map(lambda g: g * inv, g_grads), "data")
+        metrics = jax.lax.pmean(jax.tree.map(jnp.mean, metrics), "data")
+        return d_grads, g_grads, metrics
+
+    def _grads_sm(train_disc: bool, use_r1: bool):
+        return jax.shard_map(
+            partial(local_gan_grads, train_disc=train_disc, use_r1=use_r1),
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P("data"), P()),
+            out_specs=(P(), P(), P()),
+        )
+
+    @partial(
+        jax.jit,
+        static_argnames=("train_disc", "train_gen", "use_r1"),
+        donate_argnums=(0,),
+    )
+    def train_step(
+        state: TrainState,
+        batch: Batch,
+        rng,
+        train_disc: bool = True,
+        train_gen: bool = True,
+        use_r1: bool = True,
+    ) -> Tuple[TrainState, Dict[str, Any]]:
+        nonlocal gen_tx
+        if gen_tx is None:
+            gen_tx = build_gan_generator_optimizer(cfg, state.params)
+        d_grads, g_grads, metrics = _grads_sm(train_disc, use_r1)(
+            state.params, state.model_state, state.disc_params, batch, rng
+        )
+
+        if train_disc:
+            d_updates, disc_opt_state = disc_tx.update(
+                d_grads, state.disc_opt_state, state.disc_params
+            )
+            disc_params = optax.apply_updates(state.disc_params, d_updates)
+        else:
+            disc_params, disc_opt_state = state.disc_params, state.disc_opt_state
+
+        if train_gen:
+            g_updates, opt_state = gen_tx.update(
+                g_grads, state.opt_state, state.params
+            )
+            params = optax.apply_updates(state.params, g_updates)
+        else:
+            params, opt_state = state.params, state.opt_state
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params=params,
+            opt_state=opt_state,
+            disc_params=disc_params,
+            disc_opt_state=disc_opt_state,
+        )
+        return new_state, metrics
+
+    def local_val(params, model_state, disc_params, batch, rng, train_disc: bool):
+        rng = _device_rng(rng)
+        rng_f, rng_l = jax.random.split(rng)
+        fake = sample_fake(params, model_state, batch, rng_f)
+        metrics = {}
+        if train_disc:
+            _, fake_logits = disc.apply({"params": disc_params}, fake[..., None])
+            metrics["adv_loss"] = _gen_adv_loss(loss_type, fake_logits)
+        else:
+            metrics["adv_loss"] = jnp.zeros(())
+        parts, _ = model.apply(
+            {"params": params, **model_state}, rng_l, batch.x, batch.x_len,
+            batch.y, batch.y_len, batch.spk, cfg.out_size,
+            method=FaceTTS.compute_loss,
+        )
+        metrics.update(
+            duration_loss=parts.dur_loss,
+            prior_loss=parts.prior_loss,
+            diffusion_loss=parts.diff_loss,
+            spk_loss=parts.spk_loss,
+            total_loss=cfg.lambda_adv * metrics["adv_loss"] + parts.total,
+        )
+        return jax.lax.pmean(metrics, "data")
+
+    @partial(jax.jit, static_argnames=("train_disc",))
+    def val_step(state: TrainState, batch: Batch, rng, train_disc: bool = True) -> Dict:
+        sm = jax.shard_map(
+            partial(local_val, train_disc=train_disc),
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P("data"), P()),
+            out_specs=P(),
+        )
+        return sm(state.params, state.model_state, state.disc_params, batch, rng)
+
+    return train_step, val_step

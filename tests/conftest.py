@@ -8,17 +8,35 @@ sharding tests build meshes from jax.devices('cpu') explicitly.
 """
 
 import os
+import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The axon TPU-tunnel plugin DEADLOCKS multi-device CPU executions on this
+# host; tests must run pure-CPU.  Strip it from the path and force the CPU
+# platform before any JAX backend initializes.
+os.environ["JAX_PLATFORMS"] = "cpu"
+sys.path[:] = [p for p in sys.path if ".axon_site" not in p]
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags += " --xla_force_host_platform_device_count=8"
+# on few-core hosts the virtual devices execute serially, so reaching a
+# collective rendezvous can take minutes; the 40 s default aborts the process
+if "collective_call_terminate" not in flags:
+    flags += (
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=3600"
+    )
+os.environ["XLA_FLAGS"] = flags.strip()
 
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# Persistent compilation cache: XLA-CPU compiles of the big conv graphs take
+# minutes on this 1-core host; cache them across test runs.
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE_DIR))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
 @pytest.fixture(autouse=True)

@@ -1,0 +1,73 @@
+"""Evaluation metric tests: self-consistency and discrimination properties."""
+
+import numpy as np
+import pytest
+
+from facegantts_tpu.evaluation.metrics import (
+    composite_metric,
+    dtw_path,
+    log_f0_rmse,
+    log_spectral_distance,
+    mcd,
+    yin_f0,
+)
+from facegantts_tpu.evaluation.acc_measure import retrieval_accuracy
+
+
+def _tone(freq, sr=16000, dur=0.5, amp=0.4):
+    t = np.arange(int(sr * dur)) / sr
+    return (amp * np.sin(2 * np.pi * freq * t)).astype(np.float32)
+
+
+def test_yin_f0_tracks_tone():
+    f0 = yin_f0(_tone(220.0), 16000)
+    voiced = f0[f0 > 0]
+    assert len(voiced) > 10
+    np.testing.assert_allclose(np.median(voiced), 220.0, rtol=0.02)
+    # silence is unvoiced
+    silent = yin_f0(np.zeros(8000, np.float32), 16000)
+    assert (silent == 0).all()
+
+
+def test_dtw_identity_and_shift():
+    a = np.random.default_rng(0).standard_normal((20, 4))
+    ia, ib = dtw_path(a, a)
+    np.testing.assert_array_equal(ia, ib)
+
+
+def test_log_f0_rmse_discriminates():
+    same = log_f0_rmse(_tone(200), _tone(200), 16000)
+    diff = log_f0_rmse(_tone(200), _tone(300), 16000)
+    assert same < 0.02
+    assert diff > 0.3  # log(300/200) ~ 0.405
+
+
+def test_mcd_and_lsd_zero_for_identical():
+    w = _tone(250)
+    assert mcd(w, w, 16000) < 1e-6
+    assert log_spectral_distance(w, w) < 1e-9
+    noise = np.random.default_rng(1).standard_normal(len(w)).astype(np.float32) * 0.2
+    assert mcd(w, (w + noise), 16000) > 1.0
+    assert log_spectral_distance(w, w + noise) > 0.1
+
+
+def test_composite_normalization():
+    # perfect scores -> 0 (MCD below 4 clamps to 0)
+    assert composite_metric(1.0, 0.0, 4.0, 0.0) == 0.0
+    # worst case -> 1
+    assert composite_metric(0.0, 2.0, 20.0, 5.0) == 1.0
+    mid = composite_metric(0.5, 0.5, 8.0, 1.0)
+    assert 0.45 < mid < 0.55
+
+
+def test_retrieval_accuracy():
+    rng = np.random.default_rng(0)
+    # paired embeddings: faces = voices + small noise -> high accuracy
+    v = rng.standard_normal((40, 16))
+    f = v + 0.05 * rng.standard_normal((40, 16))
+    res = retrieval_accuracy(v, f, n_way=5, n_trials=200)
+    assert res["voice_to_face_acc"] > 0.9
+    # unrelated embeddings -> chance (~1/5)
+    g = rng.standard_normal((40, 16))
+    res2 = retrieval_accuracy(v, g, n_way=5, n_trials=400)
+    assert abs(res2["voice_to_face_acc"] - 0.2) < 0.12

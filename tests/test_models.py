@@ -1,0 +1,156 @@
+"""Model-layer tests: shapes, masking invariants, jit-ability."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from facegantts_tpu.config import default_config
+from facegantts_tpu.models import (
+    Diffusion,
+    FaceTTS,
+    GradLogPEstimator2d,
+    SpectrogramDiscriminator,
+    SyncNet,
+    TextEncoder,
+)
+
+CFG = default_config(env={})
+
+
+@pytest.fixture(scope="module")
+def keys():
+    return jax.random.split(jax.random.PRNGKey(0), 8)
+
+
+def test_text_encoder_shapes_and_masking(keys):
+    enc = TextEncoder(
+        n_vocab=149, n_feats=16, n_channels=24, filter_channels=48,
+        filter_channels_dp=16, n_heads=2, n_layers=2, kernel_size=3,
+        p_dropout=0.0, window_size=4, spk_emb_dim=8, multi_spks=1,
+    )
+    x = jnp.array([[5, 6, 7, 8, 0, 0], [9, 10, 0, 0, 0, 0]])
+    xl = jnp.array([4, 2])
+    spk = jax.random.normal(keys[0], (2, 8))
+    params = enc.init(keys[1], x, xl, spk)
+    mu, logw, mask = enc.apply(params, x, xl, spk)
+    assert mu.shape == (2, 6, 16) and logw.shape == (2, 6, 1)
+    # masked positions produce exact zeros
+    np.testing.assert_array_equal(np.asarray(mu[1, 2:]), 0.0)
+    np.testing.assert_array_equal(np.asarray(logw[0, 4:]), 0.0)
+    # padding tokens don't leak into valid outputs
+    x2 = x.at[0, 4].set(77)
+    mu2, _, _ = enc.apply(params, x2, xl, spk)
+    np.testing.assert_allclose(np.asarray(mu[0, :4]), np.asarray(mu2[0, :4]), atol=1e-5)
+
+
+def test_unet_shapes(keys):
+    net = GradLogPEstimator2d(dim=16, n_feats=32, spk_emb_dim=8)
+    b, f, t = 2, 32, 16
+    x = jax.random.normal(keys[0], (b, f, t))
+    mu = jax.random.normal(keys[1], (b, f, t))
+    mask = jnp.ones((b, 1, t))
+    tt = jnp.array([0.3, 0.7])
+    spk = jax.random.normal(keys[2], (b, 8))
+    params = net.init(keys[3], x, mask, mu, tt, spk)
+    out = net.apply(params, x, mask, mu, tt, spk)
+    assert out.shape == (b, f, t)
+    # time-masked frames are zero
+    mask2 = mask.at[:, :, 8:].set(0.0)
+    out2 = net.apply(params, x, mask2, mu, tt, spk)
+    np.testing.assert_array_equal(np.asarray(out2[:, :, 8:]), 0.0)
+
+
+def test_diffusion_loss_and_sampler(keys):
+    dec = Diffusion(n_feats=32, dim=16, spk_emb_dim=8)
+    b, f, t = 2, 32, 16
+    x0 = jax.random.normal(keys[0], (b, f, t))
+    mu = jax.random.normal(keys[1], (b, f, t))
+    mask = jnp.ones((b, 1, t))
+    spk = jax.random.normal(keys[2], (b, 8))
+    params = dec.init(keys[3], x0, mask, mu, 2, False, spk, keys[4])
+
+    loss, xt, xt_hat = dec.apply(
+        params, keys[5], x0, mask, mu, spk, method=Diffusion.compute_loss
+    )
+    assert np.isfinite(float(loss)) and xt.shape == (b, f, t) and xt_hat.shape == (b, f, t)
+
+    out, _ = dec.apply(params, x0, mask, mu, 4, False, spk, keys[6])
+    assert out.shape == (b, f, t)
+    out_s, _ = dec.apply(params, x0, mask, mu, 4, True, spk, keys[6])
+    assert np.isfinite(np.asarray(out_s)).all()
+
+
+def test_syncnet_embeddings(keys):
+    net = SyncNet(n_out=64)
+    mel = jax.random.normal(keys[0], (2, 128, 40, 1))
+    face = jax.random.normal(keys[1], (2, 224, 224, 3))
+    params = net.init(keys[2], mel, face)
+    vid, aud = net.apply(params, mel, face)
+    assert vid.shape == (2, 64)
+    assert aud.ndim == 3 and aud.shape[0] == 2 and aud.shape[2] == 64
+    feats = net.apply(params, mel, method=SyncNet.forward_perceptual)
+    assert len(feats) == 8  # 6 conv relu maps + 1 fc relu map + output
+
+
+def test_discriminator(keys):
+    d = SpectrogramDiscriminator()
+    x = jax.random.normal(keys[0], (2, 128, 64, 1))
+    params = d.init(keys[1], x)
+    fmap, logits = d.apply(params, x)
+    assert len(fmap) == 6  # conv_prev + 5 layers
+    assert logits.ndim == 2 and logits.shape[0] == 2
+    # speaker injection path
+    spk = jax.random.normal(keys[2], (2, 256))
+    params2 = d.init(keys[1], x, spk)
+    _, logits2 = d.apply(params2, x, spk)
+    assert logits2.shape == logits.shape
+
+
+@pytest.fixture(scope="module")
+def tiny_facetts():
+    model = FaceTTS(
+        n_vocab=149, n_feats=128, n_enc_channels=24, filter_channels=48,
+        filter_channels_dp=16, n_heads=2, n_enc_layers=1, enc_kernel=3,
+        enc_dropout=0.0, window_size=4, dec_dim=8, beta_min=0.05,
+        beta_max=20.0, pe_scale=1000.0, vid_emb_dim=32, out_size=32,
+    )
+    b, tx, ty = 2, 10, 48
+    x = jnp.ones((b, tx), jnp.int32) * 5
+    xl = jnp.array([10, 7])
+    y = jax.random.normal(jax.random.PRNGKey(1), (b, 128, ty))
+    yl = jnp.array([48, 40])
+    face = jax.random.normal(jax.random.PRNGKey(2), (b, 224, 224, 3))
+    params = model.init(
+        jax.random.PRNGKey(0), jax.random.PRNGKey(3), x, xl, y, yl, face,
+        method=FaceTTS.compute_loss,
+    )
+    return model, params, (x, xl, y, yl, face)
+
+
+def test_facetts_compute_loss(tiny_facetts):
+    model, params, (x, xl, y, yl, face) = tiny_facetts
+    parts, aux = model.apply(
+        params, jax.random.PRNGKey(9), x, xl, y, yl, face, 32,
+        method=FaceTTS.compute_loss,
+    )
+    for name, v in parts._asdict().items():
+        assert np.isfinite(float(v)), name
+    assert aux["y_cut"].shape[-1] == 32
+    assert float(parts.total) > 0
+
+
+def test_facetts_forward(tiny_facetts):
+    model, params, (x, xl, y, yl, face) = tiny_facetts
+
+    @jax.jit
+    def synth(params, rng):
+        return model.apply(
+            params, x, xl, 3, 64, 1.5, False, face, 0.91, rng,
+        )
+
+    enc, dec, attn, ylen = synth(params, jax.random.PRNGKey(4))
+    assert enc.shape == (2, 128, 64) and dec.shape == (2, 128, 64)
+    assert attn.shape == (2, 10, 64)
+    assert (np.asarray(ylen) >= 1).all()
+    assert np.isfinite(np.asarray(dec)).all()

@@ -1,0 +1,111 @@
+"""Training-step tests: plain + GAN steps run, update params, stay finite;
+data-parallel sharding over a multi-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from facegantts_tpu.config import default_config
+from facegantts_tpu.train import Batch, init_state, make_gan_train_step, make_plain_train_step
+from facegantts_tpu.parallel import create_mesh, shard_batch, shard_state
+
+# n_mels stays 128: the SyncNet audio trunk's freq reductions require it
+TINY = dict(
+    n_enc_channels="16", filter_channels="32", filter_channels_dp="16",
+    n_enc_layers="1", dec_dim="8", vid_emb_dim="32",
+    micro_batch_size="2", timesteps="2", learning_rate="1e-4",
+    use_r1_penalty="1", warmup_steps="0",
+)
+
+
+def tiny_batch(b=4, tx=8, ty=32, n_mels=128, seed=0):
+    rng = np.random.default_rng(seed)
+    return Batch(
+        x=jnp.asarray(rng.integers(1, 100, (b, tx)), jnp.int32),
+        x_len=jnp.asarray(np.full(b, tx), jnp.int32),
+        y=jnp.asarray(rng.standard_normal((b, n_mels, ty)), jnp.float32),
+        y_len=jnp.asarray(np.full(b, ty), jnp.int32),
+        spk=jnp.asarray(rng.standard_normal((b, 224, 224, 3)) * 0.1, jnp.float32),
+    )
+
+
+def _snap(tree):
+    """Copy to host numpy (donated device buffers are invalidated by steps)."""
+    return jax.tree.map(np.asarray, tree)
+
+
+def _param_delta(a, b):
+    return max(
+        jax.tree.leaves(
+            jax.tree.map(lambda p, q: float(np.abs(np.asarray(p) - np.asarray(q)).max()), a, b)
+        )
+    )
+
+
+def test_plain_train_step_updates_params():
+    cfg = default_config(env=dict(TINY, use_gan="0"))
+    batch = tiny_batch()
+    state = init_state(cfg, jax.random.PRNGKey(0), batch)
+    mesh = create_mesh(jax.devices('cpu')[:1])
+    train_step, val_step = make_plain_train_step(cfg, mesh)
+    old_params = _snap(state.params)
+    state, metrics = train_step(state, batch, jax.random.PRNGKey(1))
+    assert all(np.isfinite(float(v)) for v in metrics.values()), metrics
+    assert _param_delta(old_params["encoder"], state.params["encoder"]) > 0
+    # frozen syncnet audio trunk must NOT move (reference face_tts.py:81-82)
+    assert _param_delta(
+        old_params["syncnet"]["aud_c1"], state.params["syncnet"]["aud_c1"]
+    ) == 0
+    vm = val_step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(vm["total_loss"]))
+
+
+def test_gan_train_step():
+    cfg = default_config(env=dict(TINY, use_gan="1"))
+    batch = tiny_batch()
+    state = init_state(cfg, jax.random.PRNGKey(0), batch)
+    mesh = create_mesh(jax.devices('cpu')[:1])
+    train_step, val_step = make_gan_train_step(cfg, mesh)
+    old = (_snap(state.params), _snap(state.disc_params))
+    state, metrics = train_step(
+        state, batch, jax.random.PRNGKey(1), train_disc=True, train_gen=True, use_r1=True
+    )
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), (k, v)
+    assert _param_delta(old[0]["encoder"], state.params["encoder"]) > 0
+    assert _param_delta(old[1], state.disc_params) > 0
+    # syncnet fully frozen in GAN mode (reference disc optimizer covers enc+dec)
+    assert _param_delta(old[0]["syncnet"], state.params["syncnet"]) == 0
+    assert float(metrics["d_nan_skipped"]) == 0.0
+    assert 0.0 <= float(metrics["disc_acc"]) <= 1.0
+
+    # warmup phase: discriminator untouched
+    disc_before = _snap(state.disc_params)
+    state2, m2 = train_step(
+        state, batch, jax.random.PRNGKey(2), train_disc=False, train_gen=True, use_r1=False
+    )
+    assert _param_delta(disc_before, state2.disc_params) == 0
+    assert float(m2["adv_loss"]) == 0.0
+
+    vm = val_step(state2, batch, jax.random.PRNGKey(3), train_disc=True)
+    assert np.isfinite(float(vm["total_loss"]))
+
+
+def test_gan_step_data_parallel_cpu_mesh():
+    """Full GAN train step sharded over an 8-device CPU mesh (SPMD check)."""
+    cpus = jax.devices("cpu")
+    if len(cpus) < 4:
+        pytest.skip("needs virtual CPU devices")
+    cfg = default_config(env=dict(TINY, use_gan="1", micro_batch_size="8"))
+    mesh = create_mesh(cpus[:4])
+    batch = tiny_batch(b=8)
+    state = init_state(cfg, jax.random.PRNGKey(0), batch)
+    state = shard_state(mesh, state)
+    batch = shard_batch(mesh, batch)
+    train_step, _ = make_gan_train_step(cfg, mesh)
+    state, metrics = train_step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["g_loss"]))
+    # params remain replicated after the step
+    leaf = jax.tree.leaves(state.params)[0]
+    assert leaf.sharding.is_fully_replicated
