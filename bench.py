@@ -40,19 +40,21 @@ def bench_inference(n_iters: int = 10):
 
     cfg = default_config(env={})
     synth = Synthesizer(cfg)
-    face = load_face(os.path.join(os.path.dirname(__file__), "test", "face.png"))
+    face = synth.prepare_face(
+        load_face(os.path.join(os.path.dirname(__file__), "test", "face.png"))
+    )
     text = "The quick brown fox jumps over the lazy dog near the river bank."
 
     log(f"device: {jax.devices()[0]}")
     t0 = time.perf_counter()
-    wav, _ = synth.synthesize(text, face)
+    wav, _ = synth.synthesize(text, face, return_mel=False)
     log(f"compile+first synth: {time.perf_counter() - t0:.1f}s, audio {len(wav)/cfg.sample_rate:.2f}s")
 
     times = []
     audio_s = None
     for i in range(n_iters):
         t0 = time.perf_counter()
-        wav, _ = synth.synthesize(text, face, seed=i)
+        wav, _ = synth.synthesize(text, face, seed=i, return_mel=False)
         times.append(time.perf_counter() - t0)
         audio_s = len(wav) / cfg.sample_rate
     compute_s = float(np.median(times))

@@ -94,6 +94,21 @@ class Synthesizer:
         return jax.jit(fn)
 
     @lru_cache(maxsize=None)
+    def _decode_vocode_fn(self, tx: int, ty: int, n_timesteps: int, temperature: float, stoc: bool):
+        """Fused diffusion + vocoder: one dispatch, no intermediate host sync."""
+
+        def fn(variables, voc_params, mu_x, w_ceil, x_mask, y_lengths, spk_e, rng):
+            _, dec, _, y_len = self.model.apply(
+                variables, mu_x, w_ceil, x_mask, y_lengths, spk_e,
+                n_timesteps, ty, temperature, stoc, rng,
+                method=FaceTTS.decode,
+            )
+            wav = self.vocoder.apply({"params": voc_params}, dec)
+            return wav, dec, y_len
+
+        return jax.jit(fn)
+
+    @lru_cache(maxsize=None)
     def _vocode_fn(self, ty: int):
         def fn(params, mel):
             return self.vocoder.apply({"params": params}, mel)
@@ -107,16 +122,24 @@ class Synthesizer:
             seq = intersperse(seq)
         return np.asarray(seq, dtype=np.int32)
 
+    def prepare_face(self, face: np.ndarray) -> jax.Array:
+        """Upload a face image once; pass the result to repeated synthesize
+        calls to skip the per-call 600 KB host->device transfer."""
+        return jnp.asarray(face[None].astype(np.float32))
+
     def synthesize(
         self,
         text: str,
-        face: np.ndarray,
+        face,
         n_timesteps: Optional[int] = None,
         temperature: Optional[float] = None,
         stoc: bool = False,
         seed: int = 0,
-    ) -> Tuple[np.ndarray, np.ndarray]:
-        """One utterance -> (waveform float32 [-1,1], log-mel (n_mels, T))."""
+        return_mel: bool = True,
+    ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+        """One utterance -> (waveform float32 [-1,1], log-mel (n_mels, T)).
+
+        `face` may be a numpy image or a device array from prepare_face."""
         cfg = self.cfg
         n_timesteps = n_timesteps or cfg.timesteps
         temperature = cfg.temperature if temperature is None else temperature
@@ -126,23 +149,26 @@ class Synthesizer:
         x = np.zeros((1, tx), np.int32)
         x[0, : len(ids)] = ids
         x_len = np.array([len(ids)], np.int32)
-        face_b = face[None].astype(np.float32)
+        face_b = face if isinstance(face, jax.Array) else self.prepare_face(face)
 
         mu_x, w_ceil, x_mask, y_lengths, spk_e = self._encode_fn(tx)(
-            self.params, jnp.asarray(x), jnp.asarray(x_len), jnp.asarray(face_b)
+            self.params, jnp.asarray(x), jnp.asarray(x_len), face_b
         )
-        ty = pick_bucket(
-            int(np.ceil(float(y_lengths[0]))), cfg.mel_buckets
-        )
+        # the only mid-pipeline host sync: one scalar to pick the Ty bucket
+        ty = pick_bucket(int(np.ceil(float(y_lengths[0]))), cfg.mel_buckets)
         rng = jax.random.PRNGKey(seed)
-        _, dec, _, y_len = self._decode_fn(tx, ty, n_timesteps, temperature, stoc)(
-            self.params, mu_x, w_ceil, x_mask, y_lengths, spk_e, rng
+        wav, dec, y_len = self._decode_vocode_fn(tx, ty, n_timesteps, temperature, stoc)(
+            self.params, self.vocoder_params, mu_x, w_ceil, x_mask, y_lengths,
+            spk_e, rng,
         )
+        if return_mel:
+            wav, y_len, dec = jax.device_get((wav, y_len, dec))
+        else:
+            wav, y_len = jax.device_get((wav, y_len))
         n_frames = int(y_len[0])
-        wav = self._vocode_fn(ty)(self.vocoder_params, dec)
-        wav = np.asarray(wav[0])[: n_frames * self.cfg.hop_len]
-        mel = np.asarray(dec[0])[:, :n_frames]
-        return np.clip(wav, -1.0, 1.0), mel
+        out = np.clip(wav[0][: n_frames * self.cfg.hop_len], -1.0, 1.0)
+        mel = dec[0][:, :n_frames] if return_mel else None
+        return out, mel
 
     def synthesize_file(
         self, texts: List[str], face_path: str, out_dir: str, tag: str = "face", **kw
