@@ -1,0 +1,131 @@
+"""Analysis & plotting utilities (reference evaluation/{mos_analysis,
+melspec_plots,loss_plots_ablation}.py and utils/tts_util.py:48-75).
+
+- MOS study statistics: per-system descriptive stats, pairwise Wilcoxon
+  signed-rank tests with Bonferroni correction (reference mos_analysis.py
+  uses pingouin; this uses scipy directly).
+- Mel-spectrogram plotting and side-by-side comparison figures.
+- Training-curve plots from the trainer's metrics.jsonl.
+
+All plotting is matplotlib-gated: importable without a display.
+"""
+
+import itertools
+import json
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# MOS statistics
+# ---------------------------------------------------------------------------
+
+def mos_statistics(ratings: Dict[str, Sequence[float]]) -> Dict[str, Dict[str, float]]:
+    """Per-system mean/std/median/CI95 for MOS ratings."""
+    out = {}
+    for system, vals in ratings.items():
+        v = np.asarray(vals, dtype=np.float64)
+        sem = v.std(ddof=1) / np.sqrt(len(v)) if len(v) > 1 else 0.0
+        out[system] = {
+            "n": float(len(v)),
+            "mean": float(v.mean()),
+            "std": float(v.std(ddof=1)) if len(v) > 1 else 0.0,
+            "median": float(np.median(v)),
+            "ci95": float(1.96 * sem),
+        }
+    return out
+
+
+def pairwise_wilcoxon(
+    ratings: Dict[str, Sequence[float]], bonferroni: bool = True
+) -> List[Dict[str, float]]:
+    """Pairwise Wilcoxon signed-rank tests between systems (paired ratings),
+    Bonferroni-corrected (reference mos_analysis.py protocol)."""
+    from scipy.stats import wilcoxon
+
+    systems = sorted(ratings)
+    pairs = list(itertools.combinations(systems, 2))
+    m = len(pairs)
+    results = []
+    for a, b in pairs:
+        va, vb = np.asarray(ratings[a], float), np.asarray(ratings[b], float)
+        n = min(len(va), len(vb))
+        if n < 2 or np.allclose(va[:n], vb[:n]):
+            stat, p = 0.0, 1.0
+        else:
+            stat, p = wilcoxon(va[:n], vb[:n])
+        p_adj = min(1.0, p * m) if bonferroni else p
+        results.append({
+            "system_a": a, "system_b": b, "statistic": float(stat),
+            "p_value": float(p), "p_adjusted": float(p_adj),
+            "significant_0.05": bool(p_adj < 0.05),
+        })
+    return results
+
+
+# ---------------------------------------------------------------------------
+# plotting (reference utils/tts_util.py:48-75, evaluation/melspec_plots.py)
+# ---------------------------------------------------------------------------
+
+def save_mel_plot(mel: np.ndarray, path: str, title: Optional[str] = None):
+    """Save one log-mel spectrogram image (reference save_plot)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(12, 3))
+    im = ax.imshow(np.asarray(mel), aspect="auto", origin="lower", interpolation="none")
+    if title:
+        ax.set_title(title)
+    plt.colorbar(im, ax=ax)
+    plt.tight_layout()
+    plt.savefig(path)
+    plt.close(fig)
+
+
+def save_mel_comparison(
+    mels: Sequence[Tuple[str, np.ndarray]], path: str
+):
+    """Stacked mel comparison figure (reference melspec_plots.py)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    n = len(mels)
+    fig, axes = plt.subplots(n, 1, figsize=(12, 3 * n), squeeze=False)
+    for ax, (name, mel) in zip(axes[:, 0], mels):
+        im = ax.imshow(np.asarray(mel), aspect="auto", origin="lower", interpolation="none")
+        ax.set_title(name)
+        plt.colorbar(im, ax=ax)
+    plt.tight_layout()
+    plt.savefig(path)
+    plt.close(fig)
+
+
+def plot_training_curves(metrics_jsonl: str, path: str, keys: Optional[Sequence[str]] = None):
+    """Loss curves from the trainer's metrics.jsonl (reference
+    loss_plots_ablation.py reads TensorBoard; we read our JSONL)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    records = [json.loads(l) for l in open(metrics_jsonl) if l.strip()]
+    if not records:
+        raise ValueError(f"no records in {metrics_jsonl}")
+    if keys is None:
+        keys = sorted({k for r in records for k in r if k != "step"})
+    fig, ax = plt.subplots(figsize=(10, 6))
+    for k in keys:
+        pts = [(r["step"], r[k]) for r in records if k in r]
+        if pts:
+            xs, ys = zip(*pts)
+            ax.plot(xs, ys, label=k)
+    ax.set_xlabel("step")
+    ax.legend(fontsize=7)
+    plt.tight_layout()
+    plt.savefig(path)
+    plt.close(fig)

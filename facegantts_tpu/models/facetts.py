@@ -184,7 +184,7 @@ class FaceTTS(nn.Module):
 
         mu_y = jnp.einsum(
             "bxy,bxf->bfy", attn, mu_x, preferred_element_type=jnp.float32
-        )  # (B, F, Ty)
+        ).astype(mu_x.dtype)  # (B, F, Ty)
 
         rng_z, rng_s = jax.random.split(rng)
         z = mu_y + jax.random.normal(rng_z, mu_y.shape, mu_y.dtype) / temperature

@@ -52,7 +52,7 @@ class ResnetBlock(nn.Module):
     def __call__(self, x, mask, time_emb):
         h = Block(self.dim_out, self.groups, name="block1")(x, mask)
         temb = nn.Dense(self.dim_out, name="mlp")(mish(time_emb))
-        h = h + temb[:, None, None, :]
+        h = h + temb[:, None, None, :].astype(h.dtype)
         h = Block(self.dim_out, self.groups, name="block2")(h, mask)
         if x.shape[-1] != self.dim_out:
             res = nn.Conv(self.dim_out, (1, 1), name="res_conv")(x * mask)
@@ -78,7 +78,7 @@ class LinearAttention(nn.Module):
         k = nn.softmax(k, axis=1)  # softmax over spatial positions
         context = jnp.einsum("bnhd,bnhe->bhde", k, v, preferred_element_type=jnp.float32)
         out = jnp.einsum("bhde,bnhd->bnhe", context, q, preferred_element_type=jnp.float32)
-        out = out.reshape(b, f, t, hidden)
+        out = out.reshape(b, f, t, hidden).astype(x.dtype)
         return nn.Conv(c, (1, 1), name="to_out")(out)
 
 

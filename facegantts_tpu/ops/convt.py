@@ -26,6 +26,7 @@ def conv_transpose(
       stride, padding: per spatial dim (torch ConvTranspose stride/padding).
     """
     nd = len(stride)
+    kernel = kernel.astype(x.dtype)
     k_spatial = kernel.shape[:nd]
     # transposed conv == conv with input dilated by stride, padded k-1-p,
     # kernel flipped spatially

@@ -95,16 +95,31 @@ class Synthesizer:
 
     @lru_cache(maxsize=None)
     def _decode_vocode_fn(self, tx: int, ty: int, n_timesteps: int, temperature: float, stoc: bool):
-        """Fused diffusion + vocoder: one dispatch, no intermediate host sync."""
+        """Fused diffusion + vocoder: one dispatch, no intermediate host sync.
+
+        With cfg.use_bf16 the U-Net/vocoder weights and activations run in
+        bfloat16 on the MXU (outputs cast back to f32); flip use_bf16=0 for
+        bit-level parity with the reference's f32 pipeline."""
+        use_bf16 = bool(self.cfg.use_bf16)
 
         def fn(variables, voc_params, mu_x, w_ceil, x_mask, y_lengths, spk_e, rng):
+            if use_bf16:
+                cast = lambda t: jax.tree.map(  # noqa: E731
+                    lambda a: a.astype(jnp.bfloat16)
+                    if a.dtype == jnp.float32 else a, t
+                )
+                variables = cast(variables)
+                voc_params = cast(voc_params)
+                mu_x, w_ceil, x_mask, spk_e = (
+                    t.astype(jnp.bfloat16) for t in (mu_x, w_ceil, x_mask, spk_e)
+                )
             _, dec, _, y_len = self.model.apply(
                 variables, mu_x, w_ceil, x_mask, y_lengths, spk_e,
                 n_timesteps, ty, temperature, stoc, rng,
                 method=FaceTTS.decode,
             )
             wav = self.vocoder.apply({"params": voc_params}, dec)
-            return wav, dec, y_len
+            return wav.astype(jnp.float32), dec.astype(jnp.float32), y_len
 
         return jax.jit(fn)
 

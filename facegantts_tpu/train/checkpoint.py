@@ -412,6 +412,35 @@ def import_hifigan_state_dict(sd: Dict[str, Any]) -> Dict[str, Any]:
     return jnp_tree(p)
 
 
+def import_discriminator(sd: Dict[str, Any], prefix: str = "discriminator.") -> Dict[str, Any]:
+    """Reference SpectrogramDiscriminator state_dict -> params subtree
+    (module layout: model/discriminator.py:24-43, weight-norm path).
+
+    torch weight_norm keeps (weight_g, weight_v); flax WeightNorm keeps the
+    direction under the conv's kernel and the per-output-channel scale under
+    WeightNorm_{i}/<name>/kernel/scale.  Call-order WN indices: conv_prev=0,
+    conv_0..conv_{n-1}=1..n, post_0=n+1, post_1=n+2 (no speaker path, as in
+    GAN training where the discriminator is called without speaker_emb)."""
+
+    def wn(torch_name: str):
+        v = _t(sd[f"{prefix}{torch_name}.weight_v"])
+        g = _t(sd[f"{prefix}{torch_name}.weight_g"])
+        return conv2d_kernel(v), g.reshape(-1)
+
+    p: Dict[str, Any] = {}
+    names = [("conv_prev", "conv_prev")]
+    i = 0
+    while f"{prefix}convs.{i}.weight_v" in sd:
+        names.append((f"convs.{i}", f"conv_{i}"))
+        i += 1
+    names += [("conv_post.0", "post_0"), ("conv_post.1", "post_1")]
+    for wn_idx, (tname, fname) in enumerate(names):
+        kernel, scale = wn(tname)
+        p[fname] = {"kernel": kernel, "bias": _t(sd[f"{prefix}{tname}.bias"])}
+        p[f"WeightNorm_{wn_idx}"] = {f"{fname}/kernel/scale": scale}
+    return jnp_tree(p)
+
+
 # ---------------------------------------------------------------------------
 # misc
 # ---------------------------------------------------------------------------

@@ -1,0 +1,43 @@
+"""Analysis/plotting utility tests."""
+
+import json
+import os
+
+import numpy as np
+
+from facegantts_tpu.evaluation.analysis import (
+    mos_statistics,
+    pairwise_wilcoxon,
+    plot_training_curves,
+    save_mel_comparison,
+    save_mel_plot,
+)
+
+
+def test_mos_statistics_and_wilcoxon(rng, tmp_path):
+    a = rng.normal(4.0, 0.3, 40)
+    b = rng.normal(3.0, 0.3, 40)
+    stats = mos_statistics({"ours": a, "baseline": b})
+    assert abs(stats["ours"]["mean"] - 4.0) < 0.2
+    assert stats["baseline"]["n"] == 40
+    res = pairwise_wilcoxon({"ours": a, "baseline": b})
+    assert len(res) == 1 and res[0]["significant_0.05"]
+    # identical ratings -> not significant
+    res2 = pairwise_wilcoxon({"x": a, "y": a})
+    assert not res2[0]["significant_0.05"]
+
+
+def test_plots(rng, tmp_path):
+    mel = rng.standard_normal((128, 100))
+    p1 = os.path.join(tmp_path, "mel.png")
+    save_mel_plot(mel, p1, title="test")
+    p2 = os.path.join(tmp_path, "cmp.png")
+    save_mel_comparison([("a", mel), ("b", mel + 1)], p2)
+    log = os.path.join(tmp_path, "metrics.jsonl")
+    with open(log, "w") as f:
+        for i in range(5):
+            f.write(json.dumps({"step": i, "train/loss": 1.0 / (i + 1)}) + "\n")
+    p3 = os.path.join(tmp_path, "curves.png")
+    plot_training_curves(log, p3)
+    for p in (p1, p2, p3):
+        assert os.path.getsize(p) > 1000

@@ -340,3 +340,55 @@ def test_hifigan_import_parity():
     jwav = jnet.apply({"params": params}, jnp.asarray(mel.numpy()))
     assert jwav.shape == twav.shape
     np.testing.assert_allclose(np.asarray(jwav), twav.numpy(), atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# SpectrogramDiscriminator
+# ---------------------------------------------------------------------------
+
+class _TDisc(tnn.Module):
+    """Torch replica of the weight-normed spectrogram discriminator."""
+
+    def __init__(self, base=8, layers=2, kh=12, kw=5, pad=6, slope=0.3):
+        super().__init__()
+        wn = tnn.utils.weight_norm
+        self.slope = slope
+        self.conv_prev = wn(tnn.Conv2d(1, base, (kh, kw), padding=(1, pad)))
+        self.convs = tnn.ModuleList(
+            [wn(tnn.Conv2d(base, base, (kh, kw), stride=(1, 1), padding=(1, pad)))
+             for _ in range(layers)]
+        )
+        self.conv_post = tnn.ModuleList([
+            wn(tnn.Conv2d(base, base, (3, 3), padding=(1, 1))),
+            wn(tnn.Conv2d(base, 1, (3, 3), padding=(1, 1))),
+        ])
+
+    def forward(self, x):
+        fmap = []
+        x = tF.leaky_relu(self.conv_prev(x), self.slope)
+        fmap.append(x)
+        for c in self.convs:
+            x = tF.leaky_relu(c(x), self.slope)
+            fmap.append(x)
+        x = tF.leaky_relu(self.conv_post[0](x), self.slope)
+        x = self.conv_post[1](x)
+        return fmap, x.flatten(1, -1)
+
+
+def test_discriminator_import_parity():
+    from facegantts_tpu.models.discriminator import SpectrogramDiscriminator
+    from facegantts_tpu.train.checkpoint import import_discriminator
+
+    torch.manual_seed(3)
+    tnet = _TDisc().eval()
+    x = torch.randn(2, 1, 128, 24)
+    with torch.no_grad():
+        tfmap, tlogits = tnet(x)
+
+    params = import_discriminator(tnet.state_dict(), prefix="")
+    jnet = SpectrogramDiscriminator(base_channels=8, num_layers=2, multi_speaker=0)
+    jfmap, jlogits = jnet.apply(
+        {"params": params}, jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    )
+    assert len(jfmap) == len(tfmap)
+    np.testing.assert_allclose(np.asarray(jlogits), tlogits.numpy(), atol=2e-4)
