@@ -37,7 +37,14 @@ class SpectrogramDiscriminator(nn.Module):
         # x: (B, F, T, 1)
         fmap: List[jnp.ndarray] = []
         kh, kw = self.kernel_height, self.kernel_width
-        pad = ((1, 1), (self.padding, self.padding))
+
+        # explicit pad + VALID conv (identical math to padding=(1, disc_padding));
+        # the combined form triggers an XLA:TPU space_to_batch_converter crash
+        # for the (12, 5) kernel, the split form compiles cleanly
+        def padded(h):
+            return jnp.pad(
+                h, ((0, 0), (1, 1), (self.padding, self.padding), (0, 0))
+            )
 
         def apply_conv(conv, h):
             if self.use_spectral_norm:
@@ -45,7 +52,8 @@ class SpectrogramDiscriminator(nn.Module):
             return conv(h)
 
         h = apply_conv(
-            self._norm(nn.Conv(self.base_channels, (kh, kw), padding=pad, name="conv_prev")), x
+            self._norm(nn.Conv(self.base_channels, (kh, kw), padding="VALID", name="conv_prev")),
+            padded(x),
         )
         h = nn.leaky_relu(h, self.lrelu_slope)
         fmap.append(h)
@@ -62,10 +70,10 @@ class SpectrogramDiscriminator(nn.Module):
                 self._norm(
                     nn.Conv(
                         self.base_channels, (kh, kw), strides=(1, self.stride),
-                        padding=pad, name=f"conv_{i}",
+                        padding="VALID", name=f"conv_{i}",
                     )
                 ),
-                h,
+                padded(h),
             )
             h = nn.leaky_relu(h, self.lrelu_slope)
             fmap.append(h)
