@@ -177,6 +177,7 @@ class Config:
     temperature: float = 1.5
     length_scale: float = 0.91
     output_dir: str = "outputs"
+    vocoder_ckpt: str = ""  # bshall hifigan16k torch ckpt (importable)
     ground_truth_dir: str = ""
     results_path: str = "evaluation"
     infr_resume_from_orig: str = ""
@@ -186,8 +187,15 @@ class Config:
     val_check_interval: float = 1.0
     test_only: int = 0
     eval_interval: int = 1000
+    eval_n_samples: int = 4  # utterances synthesized per in-training eval
+    mos_ckpt: str = ""  # optional UTMOS-style linear-head checkpoint
     early_stopping_patience: int = 30
     early_stopping_min_delta: float = 0.001
+
+    # -- profiling (TPU addition; reference has none, SURVEY.md §5) ----------
+    profile_dir: str = ""  # set to enable a jax.profiler trace
+    profile_start_step: int = 10
+    profile_num_steps: int = 5
 
     id: str = "unknown"
     working_dir: str = ""

@@ -69,12 +69,15 @@ def build_syncnet_apply(cfg: Config):
 def evaluate_pairs(
     gen_dir: str, gt_dir: str, cfg: Config, max_files: Optional[int] = None
 ) -> Dict[str, float]:
+    from facegantts_tpu.evaluation.utmos import make_mos_predictor
+
     gen_wavs = find_wavs(gen_dir)
     if max_files:
         gen_wavs = gen_wavs[:max_files]
     syncnet_apply = build_syncnet_apply(cfg)
+    mos = make_mos_predictor(cfg.mos_ckpt)
 
-    sims, f0s, mcds, lsds = [], [], [], []
+    sims, f0s, mcds, lsds, moses = [], [], [], [], []
     n_paired = 0
     for gw in gen_wavs:
         rel = os.path.relpath(gw, gen_dir)
@@ -89,6 +92,7 @@ def evaluate_pairs(
         f0s.append(M.log_f0_rmse(ref, gen, cfg.sample_rate))
         mcds.append(M.mcd(ref, gen, cfg.sample_rate))
         lsds.append(M.log_spectral_distance(ref, gen, cfg.n_fft, cfg.hop_len))
+        moses.append(mos(gen, cfg.sample_rate))
 
     if n_paired == 0:
         raise SystemExit(f"no paired wavs between {gen_dir} and {gt_dir}")
@@ -102,6 +106,8 @@ def evaluate_pairs(
         "F0 RMSE": mean(f0s),
         "MCD": mean(mcds),
         "STFT Distance": mean(lsds),
+        # reported but excluded from the composite (reference eval.py:261)
+        "UTMOS": mean(moses),
         "Paired Files": float(n_paired),
     }
     return results

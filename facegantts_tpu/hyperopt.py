@@ -4,13 +4,16 @@ The reference drives train.py subprocesses through cluster_utils CEM/grid
 search and scrapes the composite metric back from eval_output.txt.  This
 native version keeps the same contract — spawn `python train.py key=value...`,
 read `Composite Metric` from the newest eval_output.txt — but implements the
-search loop itself (grid or random search; no cluster_utils dependency).
+search loop itself (grid, random, or CEM — the reference's cluster_utils
+modes — with no cluster_utils dependency).
 
 Usage:
-  python -m facegantts_tpu.hyperopt config=sweep.json [max_jobs=8] [mode=grid]
+  python -m facegantts_tpu.hyperopt config=sweep.json [max_jobs=8] \
+      [mode=grid|random|cem]
 
 sweep.json: {"fixed": {...}, "grid": {"learning_rate": [1e-4, 1e-5], ...}}
 or {"random": {"learning_rate": {"min": 1e-6, "max": 1e-3, "log": true}}}
+or {"cem": {...same spec...}, "generations": 4, "population": 8}
 """
 
 import itertools
@@ -61,6 +64,68 @@ def random_points(spec: Dict[str, Dict], n: int, seed: int = 0) -> Iterator[Dict
         yield point
 
 
+def cem_search(
+    spec: Dict[str, Dict],
+    fixed: Dict[str, Any],
+    out_root: str,
+    generations: int = 4,
+    population: int = 8,
+    elite_frac: float = 0.25,
+    seed: int = 0,
+    run=None,
+) -> List[Dict[str, Any]]:
+    """Cross-entropy-method search (the reference's cluster_utils mode,
+    hyperopt_config.json): per continuous param keep a Gaussian in value- or
+    log-space, sample a population each generation, refit mean/std on the
+    elite quantile of the composite metric.  `choices` params are sampled
+    from a categorical refit on elite counts."""
+    rng = np.random.default_rng(seed)
+    run = run or run_trial
+    cont = {k: s for k, s in spec.items() if "choices" not in s}
+    cat = {k: s["choices"] for k, s in spec.items() if "choices" in s}
+
+    tf = {k: (np.log if s.get("log") else (lambda x: x)) for k, s in cont.items()}
+    inv = {k: (np.exp if s.get("log") else (lambda x: x)) for k, s in cont.items()}
+    mean = {k: (tf[k](s["min"]) + tf[k](s["max"])) / 2.0 for k, s in cont.items()}
+    std = {k: (tf[k](s["max"]) - tf[k](s["min"])) / 4.0 for k, s in cont.items()}
+    probs = {k: np.ones(len(c)) / len(c) for k, c in cat.items()}
+
+    results, trial = [], 0
+    n_elite = max(1, int(round(population * elite_frac)))
+    for gen in range(generations):
+        points = []
+        for _ in range(population):
+            p = {}
+            for k, s in cont.items():
+                lo, hi = tf[k](s["min"]), tf[k](s["max"])
+                p[k] = float(inv[k](np.clip(rng.normal(mean[k], std[k]), lo, hi)))
+            for k, c in cat.items():
+                p[k] = c[rng.choice(len(c), p=probs[k])]
+            points.append(p)
+        scored = []
+        for p in points:
+            wd = os.path.join(out_root, f"trial_{trial:03d}")
+            score = run({**fixed, **p}, wd)
+            scored.append((score, p))
+            results.append({"trial": trial, "generation": gen, "params": p,
+                            "composite": score})
+            trial += 1
+        scored.sort(key=lambda t: t[0])
+        elite = [p for _, p in scored[:n_elite]]
+        for k in cont:
+            vals = np.array([tf[k](p[k]) for p in elite])
+            mean[k] = float(vals.mean())
+            std[k] = max(float(vals.std()), 0.1 * std[k])  # floor: keep exploring
+        for k, c in cat.items():
+            counts = np.array([sum(1 for p in elite if p[k] == v) for v in c], float)
+            probs[k] = (counts + 0.5) / (counts + 0.5).sum()  # add-half smoothing
+        best = scored[0]
+        print(f"[hyperopt/cem] gen {gen}: best composite={best[0]} params={best[1]}")
+        with open(os.path.join(out_root, "results.json"), "w") as f:
+            json.dump(sorted(results, key=lambda r: r["composite"]), f, indent=2)
+    return results
+
+
 def run_trial(params: Dict[str, Any], work_dir: str, train_script: str = "train.py") -> float:
     args = [sys.executable, train_script] + [
         f"{k}={v}" for k, v in params.items()
@@ -77,10 +142,20 @@ def run_trial(params: Dict[str, Any], work_dir: str, train_script: str = "train.
 def sweep(config: Dict[str, Any], out_root: str = "runs/sweep", max_jobs: int = 8,
           mode: str = "grid", seed: int = 0) -> List[Dict[str, Any]]:
     fixed = config.get("fixed", {})
+    if mode == "cem":
+        os.makedirs(out_root, exist_ok=True)
+        spec = config.get("cem", config.get("random"))
+        return cem_search(
+            spec, fixed, out_root, seed=seed,
+            generations=int(config.get("generations", 4)),
+            population=int(config.get("population", max_jobs)),
+            elite_frac=float(config.get("elite_frac", 0.25)),
+        )
     if mode == "grid":
         points = list(grid_points(config["grid"]))[:max_jobs]
     else:
         points = list(random_points(config["random"], max_jobs, seed))
+    os.makedirs(out_root, exist_ok=True)
     results = []
     for i, p in enumerate(points):
         wd = os.path.join(out_root, f"trial_{i:03d}")

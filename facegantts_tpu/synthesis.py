@@ -144,7 +144,7 @@ class Synthesizer:
 
     def synthesize(
         self,
-        text: str,
+        text,
         face,
         n_timesteps: Optional[int] = None,
         temperature: Optional[float] = None,
@@ -154,12 +154,15 @@ class Synthesizer:
     ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
         """One utterance -> (waveform float32 [-1,1], log-mel (n_mels, T)).
 
-        `face` may be a numpy image or a device array from prepare_face."""
+        `text` is a sentence, or a precomputed int array of (interspersed)
+        symbol ids — the in-training evaluator feeds ids straight from
+        packed shards.  `face` may be a numpy image or a device array from
+        prepare_face."""
         cfg = self.cfg
         n_timesteps = n_timesteps or cfg.timesteps
         temperature = cfg.temperature if temperature is None else temperature
 
-        ids = self.encode_text(text)
+        ids = self.encode_text(text) if isinstance(text, str) else np.asarray(text, np.int32)
         tx = pick_bucket(len(ids), cfg.text_buckets)
         x = np.zeros((1, tx), np.int32)
         x[0, : len(ids)] = ids

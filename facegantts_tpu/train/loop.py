@@ -23,6 +23,7 @@ from facegantts_tpu.parallel import create_mesh, shard_batch, shard_state
 from facegantts_tpu.train import checkpoint as ck
 from facegantts_tpu.train.state import TrainState
 from facegantts_tpu.train.step import init_state, make_gan_train_step, make_plain_train_step
+from facegantts_tpu.utils.profiling import StepProfiler
 
 
 class MetricLogger:
@@ -48,6 +49,15 @@ class MetricLogger:
         if self.tb:
             for k, v in metrics.items():
                 self.tb.add_scalar(f"{prefix}/{k}", float(v), step)
+
+    def log_audio(self, step: int, tag: str, wav, sample_rate: int):
+        """TB audio like the reference's add_audio walk
+        (custom_callbacks.py:44-55)."""
+        if self.tb:
+            import torch
+
+            self.tb.add_audio(tag, torch.as_tensor(wav).reshape(1, -1), step,
+                              sample_rate=sample_rate)
 
 
 class EarlyStopping:
@@ -114,6 +124,7 @@ def train(cfg: Config, work_dir: str = "runs/default", max_steps: Optional[int] 
         train_step, val_step = make_plain_train_step(cfg, mesh)
 
     stopper = EarlyStopping(cfg.early_stopping_patience, cfg.early_stopping_min_delta)
+    profiler = StepProfiler(cfg.profile_dir, cfg.profile_start_step, cfg.profile_num_steps)
     step = int(state.step)
     epoch = 0
     t_last, n_last = time.time(), step
@@ -121,6 +132,7 @@ def train(cfg: Config, work_dir: str = "runs/default", max_steps: Optional[int] 
 
     while step < max_steps:
         for batch in loader.epoch(epoch):
+            profiler.step(step)
             batch = shard_batch(mesh, batch)
             rng, srng = jax.random.split(rng)
             if cfg.use_gan:
@@ -144,6 +156,17 @@ def train(cfg: Config, work_dir: str = "runs/default", max_steps: Optional[int] 
 
             if step % cfg.save_step == 0:
                 ck.save_checkpoint(ckpt_dir, state, step, keep=cfg.keep_top_k)
+
+            if cfg.eval_interval and step % cfg.eval_interval == 0:
+                from facegantts_tpu.evaluation.intrain import run_intrain_eval
+
+                results = run_intrain_eval(
+                    cfg, jax.device_get(state), val_ds,
+                    os.path.join(work_dir, "inference"), step,
+                )
+                logger.log(step, results, prefix="eval")
+                print(f"[eval step {step}] "
+                      + " ".join(f"{k}={v:.4f}" for k, v in results.items()))
 
             if step >= max_steps:
                 break
@@ -171,5 +194,6 @@ def train(cfg: Config, work_dir: str = "runs/default", max_steps: Optional[int] 
                 break
         epoch += 1
 
+    profiler.close()
     ck.save_checkpoint(ckpt_dir, state, step, keep=cfg.keep_top_k)
     return state

@@ -1,0 +1,35 @@
+"""In-training periodic eval: synthesize with live TrainState weights,
+score, and write eval_output.txt (reference StepwiseEvalCallback surface)."""
+
+import os
+
+import jax
+import numpy as np
+
+from facegantts_tpu.config import default_config
+from facegantts_tpu.data.dataset import SyntheticDataset
+from facegantts_tpu.evaluation.intrain import run_intrain_eval
+from facegantts_tpu.train import init_state
+
+from tests.test_train import TINY, tiny_batch
+
+
+def test_run_intrain_eval(tmp_path):
+    cfg = default_config(env=dict(TINY, use_gan="0")).replace(
+        text_buckets=(16,), mel_buckets=(64,), eval_n_samples=1,
+    )
+    state = init_state(cfg, jax.random.PRNGKey(0), tiny_batch())
+    ds = SyntheticDataset(n_items=2, n_mels=cfg.n_mels, min_frames=40, max_frames=48)
+    results = run_intrain_eval(cfg, state, ds, str(tmp_path), step=7, n_samples=1)
+
+    assert results["Samples"] == 1.0
+    assert np.isfinite(results["Mel Distance"])
+    assert -1.0 <= results["Speaker Similarity"] <= 1.0
+    assert 1.0 <= results["UTMOS"] <= 5.0
+
+    step_dir = os.path.join(str(tmp_path), "step_00000007")
+    assert os.path.exists(os.path.join(step_dir, "eval_output.txt"))
+    assert os.path.exists(os.path.join(step_dir, "sample_0.wav"))
+    text = open(os.path.join(step_dir, "eval_output.txt")).read()
+    # reference regex-parse format: "key: value" lines
+    assert "Speaker Similarity: " in text and "UTMOS: " in text
