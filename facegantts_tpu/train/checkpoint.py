@@ -47,6 +47,37 @@ def restore_checkpoint(ckpt_dir: str, target, step: Optional[int] = None):
         return mgr.restore(step, args=ocp.args.StandardRestore(target))
 
 
+def restore_generator_variables(ckpt_dir: str, step: Optional[int] = None):
+    """Restore just the generator variables dict ({params, batch_stats...})
+    from an orbax TrainState checkpoint WITHOUT a target pytree — inference
+    doesn't have (and shouldn't build) optimizer state to restore into."""
+    import orbax.checkpoint as ocp
+
+    import jax
+
+    path = os.path.abspath(ckpt_dir)
+    with ocp.CheckpointManager(path) as mgr:
+        step = mgr.latest_step() if step is None else step
+    if step is None:
+        return None
+    # a zero numpy target built from the checkpoint's own metadata sidesteps
+    # orbax's restore-to-recorded-device behavior (the saving process's
+    # device names need not exist in this process)
+    item = os.path.join(path, str(step), "default")
+    ckptr = ocp.StandardCheckpointer()
+    meta = ckptr.metadata(item)
+    tree = meta.item_metadata.tree if hasattr(meta, "item_metadata") else meta
+    target = jax.tree.map(
+        lambda m: np.zeros(m.shape, m.dtype) if hasattr(m, "shape") else m,
+        tree, is_leaf=lambda m: hasattr(m, "shape"),
+    )
+    raw = ckptr.restore(item, target)
+    variables = {"params": raw["params"]}
+    if raw.get("model_state"):
+        variables.update(raw["model_state"])
+    return variables
+
+
 # ---------------------------------------------------------------------------
 # torch -> flax conversion helpers
 # ---------------------------------------------------------------------------

@@ -29,14 +29,12 @@ def main(argv=None):
 
     params = None
     if cfg.resume_from and os.path.exists(cfg.resume_from):
-        if os.path.isdir(cfg.resume_from):
-            raise SystemExit(
-                "orbax resume in inference: point resume_from at the torch "
-                "checkpoint or use facegantts_tpu.train.checkpoint.restore_checkpoint"
-            )
         print(f"######## Loading checkpoint from {cfg.resume_from}")
-        p, stats = ck.import_facetts(cfg.resume_from)
-        params = {"params": p, "batch_stats": stats}
+        if os.path.isdir(cfg.resume_from):  # orbax TrainState directory
+            params = ck.restore_generator_variables(cfg.resume_from)
+        else:  # reference torch .pt/.ckpt
+            p, stats = ck.import_facetts(cfg.resume_from)
+            params = {"params": p, "batch_stats": stats}
     vocoder_params = ck.import_hifigan(vocoder_ckpt) if vocoder_ckpt else None
 
     cmu = CMUDict(cfg.cmudict_path) if os.path.exists(cfg.cmudict_path) else None

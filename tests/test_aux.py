@@ -266,3 +266,34 @@ def test_cem_converges_on_quadratic(tmp_path):
     # later generations concentrate near the optimum
     last_gen = [r for r in results if r["generation"] == 4]
     assert np.median([r["composite"] for r in last_gen]) < 4.0
+
+
+# ---------------------------------------------------------------------------
+# orbax checkpoint round-trip (train/checkpoint.py)
+# ---------------------------------------------------------------------------
+
+def test_orbax_roundtrip_and_generator_restore(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from facegantts_tpu.train import checkpoint as ck
+    from facegantts_tpu.train.state import TrainState
+
+    state = TrainState(
+        step=jnp.asarray(5, jnp.int32),
+        params={"encoder": {"w": jnp.arange(4.0)}},
+        opt_state={"mu": {"encoder": {"w": jnp.zeros(4)}}},
+        model_state={"batch_stats": {"syncnet": {"m": jnp.ones(2)}}},
+    )
+    d = str(tmp_path / "ckpt")
+    ck.save_checkpoint(d, state, step=5, keep=2)
+
+    target = jax.tree.map(np.zeros_like, state)
+    restored = ck.restore_checkpoint(d, target)
+    assert int(restored.step) == 5
+    np.testing.assert_allclose(restored.params["encoder"]["w"], np.arange(4.0))
+
+    # inference-side restore: no target pytree required
+    variables = ck.restore_generator_variables(d)
+    np.testing.assert_allclose(variables["params"]["encoder"]["w"], np.arange(4.0))
+    np.testing.assert_allclose(variables["batch_stats"]["syncnet"]["m"], np.ones(2))
