@@ -162,7 +162,9 @@ class Config:
     num_workers: int = 8
     prefetch_factor: int = 2
     mesh_shape: Tuple[int, ...] = ()  # () = 1-D data mesh over all devices
-    use_bf16: int = 1  # bfloat16 activations on the MXU path
+    use_bf16: int = 1  # bfloat16 activations on the MXU path (inference)
+    train_bf16: int = 0  # mixed-precision training: f32 master params,
+    #                      bf16 model compute (grads accumulate in f32)
 
     # -- checkpoints ----------------------------------------------------------
     resume_from: str = ""

@@ -105,6 +105,60 @@ def save_mel_comparison(
     plt.close(fig)
 
 
+def save_epoch_progress(
+    mels_by_epoch: Sequence[Tuple[int, np.ndarray]], path: str,
+    title: str = "training progress",
+):
+    """Grid of generated mels across training epochs (reference
+    evaluation/facegantts_epoch_progress.py): one row per checkpoint epoch,
+    shared color scale so brightness changes are comparable."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    n = len(mels_by_epoch)
+    if n == 0:
+        raise ValueError("no mels given")
+    vmin = min(float(np.min(m)) for _, m in mels_by_epoch)
+    vmax = max(float(np.max(m)) for _, m in mels_by_epoch)
+    fig, axes = plt.subplots(n, 1, figsize=(12, 2.2 * n), squeeze=False)
+    for ax, (epoch, mel) in zip(axes[:, 0], mels_by_epoch):
+        ax.imshow(np.asarray(mel), aspect="auto", origin="lower",
+                  interpolation="none", vmin=vmin, vmax=vmax)
+        ax.set_ylabel(f"epoch {epoch}", fontsize=8)
+        ax.set_xticks([])
+        ax.set_yticks([])
+    axes[0, 0].set_title(title)
+    plt.tight_layout()
+    plt.savefig(path)
+    plt.close(fig)
+
+
+def save_face_grid_pdf(image_paths: Sequence[str], path: str, cols: int = 4):
+    """Face-image contact sheet as a PDF (reference
+    evaluation/save_face_pdf.py exports MOS-study face pages)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from PIL import Image
+
+    n = len(image_paths)
+    if n == 0:
+        raise ValueError("no images given")
+    rows = (n + cols - 1) // cols
+    fig, axes = plt.subplots(rows, cols, figsize=(3 * cols, 3 * rows), squeeze=False)
+    for i, ax in enumerate(axes.ravel()):
+        ax.axis("off")
+        if i < n:
+            ax.imshow(np.asarray(Image.open(image_paths[i]).convert("RGB")))
+            ax.set_title(str(i), fontsize=7)
+    plt.tight_layout()
+    plt.savefig(path, format="pdf")
+    plt.close(fig)
+
+
 def plot_training_curves(metrics_jsonl: str, path: str, keys: Optional[Sequence[str]] = None):
     """Loss curves from the trainer's metrics.jsonl (reference
     loss_plots_ablation.py reads TensorBoard; we read our JSONL)."""

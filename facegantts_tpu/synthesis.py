@@ -70,6 +70,13 @@ class Synthesizer:
             ]
         self.params = params
         self.vocoder_params = vocoder_params
+        # duration cache: (ids, face identity) -> exact mel frames.  Duration
+        # prediction is deterministic (no sampling in the encoder), so a
+        # repeated (text, face) pair always yields the same length — caching
+        # it lets synthesize() run the fully fused one-dispatch path with no
+        # mid-pipeline host sync (a full round-trip saved per utterance on
+        # remote/tunneled TPUs).
+        self._ty_cache: dict = {}
 
     # ------------------------------------------------------------ compiled
     @lru_cache(maxsize=None)
@@ -130,6 +137,39 @@ class Synthesizer:
 
         return jax.jit(fn)
 
+    @lru_cache(maxsize=None)
+    def _synth_full_fn(self, tx: int, ty: int, n_timesteps: int, temperature: float, stoc: bool):
+        """Fully fused text+face -> wav: ONE device dispatch, zero
+        mid-pipeline host syncs.  Usable whenever the mel bucket `ty` is
+        known up front (duration cache hit) — the per-dispatch round-trip
+        latency of remote/tunneled TPUs then counts once instead of twice."""
+        use_bf16 = bool(self.cfg.use_bf16)
+
+        def fn(variables, voc_params, x, x_len, face, rng):
+            mu_x, w_ceil, x_mask, y_lengths, spk_e = self.model.apply(
+                variables, x, x_len, face, self.cfg.length_scale,
+                method=FaceTTS.encode,
+            )
+            if use_bf16:
+                cast = lambda t: jax.tree.map(  # noqa: E731
+                    lambda a: a.astype(jnp.bfloat16)
+                    if a.dtype == jnp.float32 else a, t
+                )
+                variables = cast(variables)
+                voc_params = cast(voc_params)
+                mu_x, w_ceil, x_mask, spk_e = (
+                    t.astype(jnp.bfloat16) for t in (mu_x, w_ceil, x_mask, spk_e)
+                )
+            _, dec, _, y_len = self.model.apply(
+                variables, mu_x, w_ceil, x_mask, y_lengths, spk_e,
+                n_timesteps, ty, temperature, stoc, rng,
+                method=FaceTTS.decode,
+            )
+            wav = self.vocoder.apply({"params": voc_params}, dec)
+            return wav.astype(jnp.float32), dec.astype(jnp.float32), y_len
+
+        return jax.jit(fn)
+
     # ------------------------------------------------------------- public
     def encode_text(self, text: str) -> np.ndarray:
         seq = text_to_sequence(text, dictionary=self.cmu)
@@ -169,16 +209,31 @@ class Synthesizer:
         x_len = np.array([len(ids)], np.int32)
         face_b = face if isinstance(face, jax.Array) else self.prepare_face(face)
 
-        mu_x, w_ceil, x_mask, y_lengths, spk_e = self._encode_fn(tx)(
-            self.params, jnp.asarray(x), jnp.asarray(x_len), face_b
-        )
-        # the only mid-pipeline host sync: one scalar to pick the Ty bucket
-        ty = pick_bucket(int(np.ceil(float(y_lengths[0]))), cfg.mel_buckets)
         rng = jax.random.PRNGKey(seed)
-        wav, dec, y_len = self._decode_vocode_fn(tx, ty, n_timesteps, temperature, stoc)(
-            self.params, self.vocoder_params, mu_x, w_ceil, x_mask, y_lengths,
-            spk_e, rng,
-        )
+        cache_key = (ids.tobytes(), id(face_b))
+        # the cached entry pins face_b so its id() can't be recycled by a
+        # different face array after garbage collection
+        cached = self._ty_cache.get(cache_key)
+        cached_frames = cached[1] if cached is not None else None
+        if cached_frames is not None:
+            # fused fast path: bucket known, single dispatch, no mid sync
+            ty = pick_bucket(cached_frames, cfg.mel_buckets)
+            wav, dec, y_len = self._synth_full_fn(tx, ty, n_timesteps, temperature, stoc)(
+                self.params, self.vocoder_params, jnp.asarray(x),
+                jnp.asarray(x_len), face_b, rng,
+            )
+        else:
+            mu_x, w_ceil, x_mask, y_lengths, spk_e = self._encode_fn(tx)(
+                self.params, jnp.asarray(x), jnp.asarray(x_len), face_b
+            )
+            # the only mid-pipeline host sync: one scalar to pick the Ty bucket
+            frames = int(np.ceil(float(y_lengths[0])))
+            self._ty_cache[cache_key] = (face_b, frames)
+            ty = pick_bucket(frames, cfg.mel_buckets)
+            wav, dec, y_len = self._decode_vocode_fn(tx, ty, n_timesteps, temperature, stoc)(
+                self.params, self.vocoder_params, mu_x, w_ceil, x_mask, y_lengths,
+                spk_e, rng,
+            )
         if return_mel:
             wav, y_len, dec = jax.device_get((wav, y_len, dec))
         else:
@@ -187,6 +242,66 @@ class Synthesizer:
         out = np.clip(wav[0][: n_frames * self.cfg.hop_len], -1.0, 1.0)
         mel = dec[0][:, :n_frames] if return_mel else None
         return out, mel
+
+    def synthesize_batch(
+        self,
+        texts: List,
+        face,
+        n_timesteps: Optional[int] = None,
+        temperature: Optional[float] = None,
+        stoc: bool = False,
+        seed: int = 0,
+    ) -> List[np.ndarray]:
+        """Throughput mode: synthesize many utterances with ONE face in
+        batched device dispatches (one per (tx, ty) bucket pair), amortizing
+        the per-dispatch round trip and filling the MXU with batch work.
+
+        Returns wavs in input order."""
+        cfg = self.cfg
+        n_timesteps = n_timesteps or cfg.timesteps
+        temperature = cfg.temperature if temperature is None else temperature
+        face_b = face if isinstance(face, jax.Array) else self.prepare_face(face)
+
+        all_ids = [
+            self.encode_text(t) if isinstance(t, str) else np.asarray(t, np.int32)
+            for t in texts
+        ]
+        # encode everything in per-tx-bucket batches to learn mel lengths
+        by_tx: dict = {}
+        for i, ids in enumerate(all_ids):
+            by_tx.setdefault(pick_bucket(len(ids), cfg.text_buckets), []).append(i)
+
+        wavs: List[Optional[np.ndarray]] = [None] * len(texts)
+        for tx, idxs in by_tx.items():
+            b = len(idxs)
+            x = np.zeros((b, tx), np.int32)
+            x_len = np.zeros((b,), np.int32)
+            for r, i in enumerate(idxs):
+                x[r, : len(all_ids[i])] = all_ids[i]
+                x_len[r] = len(all_ids[i])
+            face_rep = jnp.broadcast_to(face_b, (b, *face_b.shape[1:]))
+            mu_x, w_ceil, x_mask, y_lengths, spk_e = self._encode_fn(tx)(
+                self.params, jnp.asarray(x), jnp.asarray(x_len), face_rep
+            )
+            frames = np.ceil(np.asarray(y_lengths)).astype(np.int32)
+            # one decode dispatch per mel bucket within this tx bucket
+            by_ty: dict = {}
+            for r, i in enumerate(idxs):
+                by_ty.setdefault(pick_bucket(int(frames[r]), cfg.mel_buckets), []).append(r)
+            for ty, rows in by_ty.items():
+                sel = jnp.asarray(np.asarray(rows, np.int32))
+                rng = jax.random.PRNGKey(seed)
+                wav, _, y_len = self._decode_vocode_fn(
+                    tx, ty, n_timesteps, temperature, stoc
+                )(
+                    self.params, self.vocoder_params, mu_x[sel], w_ceil[sel],
+                    x_mask[sel], y_lengths[sel], spk_e[sel], rng,
+                )
+                wav, y_len = jax.device_get((wav, y_len))
+                for k, r in enumerate(rows):
+                    n = int(y_len[k]) * cfg.hop_len
+                    wavs[idxs[r]] = np.clip(wav[k][:n], -1.0, 1.0)
+        return wavs  # type: ignore[return-value]
 
     def synthesize_file(
         self, texts: List[str], face_path: str, out_dir: str, tag: str = "face", **kw

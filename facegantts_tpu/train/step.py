@@ -145,6 +145,36 @@ def _feature_matching(real_fmap, fake_fmap):
     return fm
 
 
+def _frame_energy(mel):
+    """Per-frame energy of a log-mel, in log domain: (B, F, T) -> (B, T).
+
+    On-device replacement for the reference's librosa RMS on sample[0]
+    (face_tts_w_discriminator.py:277-282, feature_extractor.py:46-49)."""
+    return jnp.log(jnp.mean(jnp.exp(mel), axis=1) + 1e-8)
+
+
+def _soft_pitch(mel):
+    """Differentiable pitch-contour proxy: softmax-weighted mel-bin centroid
+    per frame, (B, F, T) -> (B, T) in bin units.
+
+    The reference runs librosa pYIN on the (detached) mel matrix of
+    sample[0] only — a constant w.r.t. parameters, so it only monitors
+    (face_tts_w_discriminator.py:266-275).  This proxy tracks the same
+    contour-matching objective but on-device, for the whole micro-batch,
+    and with a usable gradient."""
+    w = jax.nn.softmax(mel, axis=1)
+    centers = jnp.arange(mel.shape[1], dtype=mel.dtype)
+    return jnp.sum(w * centers[None, :, None], axis=1)
+
+
+def _contour_loss(feat_real, feat_fake, y_len):
+    """Masked L1 between per-frame contours (B, T)."""
+    t = feat_real.shape[-1]
+    mask = (jnp.arange(t)[None, :] < y_len[:, None]).astype(feat_real.dtype)
+    diff = jnp.abs(feat_real - feat_fake) * mask
+    return jnp.sum(diff) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
 def _micro_split(batch: Batch, mb_size: int):
     """(B_local, ...) -> (n_micro, mb, ...), n_micro inferred; B_local must be
     a multiple of mb_size (or smaller than it)."""
@@ -157,6 +187,26 @@ def _device_rng(rng):
     return jax.random.fold_in(rng, jax.lax.axis_index("data"))
 
 
+def _cast_floats(tree, dtype):
+    """Cast float leaves (mixed precision); int/bool leaves pass through."""
+    return jax.tree.map(
+        lambda a: a.astype(dtype)
+        if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a,
+        tree,
+    )
+
+
+def _mp_caster(cfg: Config):
+    """Mixed-precision cast hooks: with cfg.train_bf16 the model computes in
+    bfloat16 on the MXU while master params, optimizer state, and gradient
+    accumulation stay f32 (the casts sit INSIDE the loss functions, so grads
+    flow through `astype` back to the f32 leaves).  Identity when off."""
+    if cfg.train_bf16:
+        return (lambda t: _cast_floats(t, jnp.bfloat16),
+                lambda t: _cast_floats(t, jnp.float32))
+    return (lambda t: t), (lambda t: t)
+
+
 # --------------------------------------------------------------------------
 # step factories
 # --------------------------------------------------------------------------
@@ -166,13 +216,15 @@ def make_plain_train_step(cfg: Config, mesh: Optional[Mesh] = None):
     model, _ = build_models(cfg)
     mesh = mesh if mesh is not None else create_mesh()
     gen_tx = None  # built lazily against the param tree
+    down, up = _mp_caster(cfg)
 
     def loss_fn(params, model_state, batch: Batch, rng):
         parts, _ = model.apply(
-            {"params": params, **model_state}, rng, batch.x, batch.x_len,
-            batch.y, batch.y_len, batch.spk, cfg.out_size,
-            method=FaceTTS.compute_loss,
+            {"params": down(params), **down(model_state)}, rng, batch.x,
+            batch.x_len, down(batch.y), batch.y_len, down(batch.spk),
+            cfg.out_size, method=FaceTTS.compute_loss,
         )
+        parts = up(parts)
         metrics = {
             "duration_loss": parts.dur_loss,
             "prior_loss": parts.prior_loss,
@@ -236,27 +288,30 @@ def make_gan_train_step(cfg: Config, mesh: Optional[Mesh] = None):
     gen_tx = None
     disc_tx = build_discriminator_optimizer(cfg)
     loss_type = cfg.disc_loss_type
+    down, up = _mp_caster(cfg)
 
     def sample_fake(params, model_state, mb: Batch, rng):
         y_bucket = mb.y.shape[-1]
         _, dec, _, _ = model.apply(
-            {"params": params, **model_state}, mb.x, mb.x_len, cfg.timesteps,
-            y_bucket, 1.0, False, mb.spk, 1.0, rng,
+            {"params": down(params), **down(model_state)}, mb.x, mb.x_len,
+            cfg.timesteps, y_bucket, 1.0, False, down(mb.spk), 1.0, rng,
         )
         return dec  # (B, F, T)
 
     def d_loss_fn(disc_params, y_real, fake, use_r1: bool):
+        disc_params = down(disc_params)
+        y_real, fake = down(y_real), down(fake)
         _, real_logits = disc.apply({"params": disc_params}, y_real[..., None])
         _, fake_logits = disc.apply({"params": disc_params}, fake[..., None])
-        d_loss = _disc_loss(loss_type, real_logits, fake_logits)
-        acc = _disc_accuracy(loss_type, real_logits, fake_logits)
+        d_loss = up(_disc_loss(loss_type, real_logits, fake_logits))
+        acc = up(_disc_accuracy(loss_type, real_logits, fake_logits))
         r1 = 0.0
         if use_r1:
             def logits_sum(y_in):
                 return disc.apply({"params": disc_params}, y_in)[1].sum()
 
             g = jax.grad(logits_sum)(y_real[..., None])
-            r1 = jnp.mean(jnp.sum(g**2, axis=(1, 2, 3)))
+            r1 = up(jnp.mean(jnp.sum(g.astype(jnp.float32) ** 2, axis=(1, 2, 3))))
             d_loss = d_loss + cfg.r1_gamma * 0.5 * r1
         return d_loss, {"disc_acc": acc, "r1_penalty": r1}
 
@@ -264,28 +319,50 @@ def make_gan_train_step(cfg: Config, mesh: Optional[Mesh] = None):
         if cfg.adv_grad_through_sampler:
             rng, rng_s = jax.random.split(rng)
             fake = sample_fake(params, model_state, mb, rng_s)
+        fake = down(fake)
+        disc_params_c = down(disc_params)
         if train_disc:
-            fake_fmap, fake_logits = disc.apply({"params": disc_params}, fake[..., None])
-            adv = _gen_adv_loss(loss_type, fake_logits)
+            fake_fmap, fake_logits = disc.apply({"params": disc_params_c}, fake[..., None])
+            adv = up(_gen_adv_loss(loss_type, fake_logits))
         else:
             fake_fmap, adv = None, jnp.zeros(())
         fm = jnp.zeros(())
         if cfg.use_fm_loss and train_disc:
-            real_fmap, _ = disc.apply({"params": disc_params}, mb.y[..., None])
-            fm = _feature_matching(jax.lax.stop_gradient(real_fmap), fake_fmap)
+            real_fmap, _ = disc.apply({"params": disc_params_c}, down(mb.y)[..., None])
+            fm = up(_feature_matching(jax.lax.stop_gradient(real_fmap), fake_fmap))
+        # optional pitch/energy contour losses (reference :266-282, off by
+        # default, config.py:89-90); computed on-device over the micro-batch
+        pitch = jnp.zeros(())
+        energy = jnp.zeros(())
+        if cfg.use_pitch_loss:
+            pitch = up(_contour_loss(
+                _soft_pitch(jax.lax.stop_gradient(down(mb.y))),
+                _soft_pitch(fake), mb.y_len,
+            ))
+        if cfg.use_energy_loss:
+            energy = up(_contour_loss(
+                _frame_energy(jax.lax.stop_gradient(down(mb.y))),
+                _frame_energy(fake), mb.y_len,
+            ))
         # GAN G-phase: full-length losses (out_size=None), reference :285-287
         parts, _ = model.apply(
-            {"params": params, **model_state}, rng, mb.x, mb.x_len, mb.y,
-            mb.y_len, mb.spk, None, method=FaceTTS.compute_loss,
+            {"params": down(params), **down(model_state)}, rng, mb.x, mb.x_len,
+            down(mb.y), mb.y_len, down(mb.spk), None,
+            method=FaceTTS.compute_loss,
         )
+        parts = up(parts)
         g_loss = (
             cfg.lambda_adv * adv
             + parts.dur_loss + parts.prior_loss + parts.diff_loss + parts.spk_loss
             + cfg.use_fm_loss * fm
+            + cfg.use_pitch_loss * pitch
+            + cfg.use_energy_loss * energy
         )
         metrics = {
             "adv_loss": adv,
             "fm_loss": fm,
+            "pitch_loss": pitch,
+            "energy_loss": energy,
             "duration_loss": parts.dur_loss,
             "prior_loss": parts.prior_loss,
             "diffusion_loss": parts.diff_loss,

@@ -21,8 +21,9 @@ def main():
     enable_compilation_cache()
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     ty = int(sys.argv[2]) if len(sys.argv) > 2 else 436
+    bf16 = int(sys.argv[3]) if len(sys.argv) > 3 else 0
     tx = 128
-    cfg = default_config(env={})
+    cfg = default_config(env={}, overrides=dict(train_bf16=bf16))
     rng = np.random.default_rng(0)
     batch = Batch(
         x=jnp.asarray(rng.integers(1, 148, (b, tx)), jnp.int32),
@@ -32,7 +33,8 @@ def main():
         spk=jnp.asarray(rng.standard_normal((b, 224, 224, 3)).astype(np.float32)),
     )
     print(f"batch {b} x (tx={tx}, ty={ty}), micro {cfg.micro_batch_size}, "
-          f"T={cfg.timesteps}, device {jax.devices()[0]}", flush=True)
+          f"T={cfg.timesteps}, train_bf16={cfg.train_bf16}, "
+          f"device {jax.devices()[0]}", flush=True)
     state = init_state(cfg, jax.random.PRNGKey(0), batch)
     step, _ = make_gan_train_step(cfg)
     t0 = time.time()

@@ -41,3 +41,26 @@ def test_plots(rng, tmp_path):
     plot_training_curves(log, p3)
     for p in (p1, p2, p3):
         assert os.path.getsize(p) > 1000
+
+
+def test_epoch_progress_and_face_pdf(rng, tmp_path):
+    from facegantts_tpu.evaluation.analysis import (
+        save_epoch_progress, save_face_grid_pdf,
+    )
+    from PIL import Image
+
+    mels = [(e, rng.standard_normal((128, 80))) for e in (0, 10, 96)]
+    p1 = os.path.join(tmp_path, "progress.png")
+    save_epoch_progress(mels, p1)
+
+    faces = []
+    for i in range(3):
+        p = os.path.join(tmp_path, f"f{i}.png")
+        Image.fromarray(
+            (rng.random((64, 64, 3)) * 255).astype("uint8")
+        ).save(p)
+        faces.append(p)
+    p2 = os.path.join(tmp_path, "faces.pdf")
+    save_face_grid_pdf(faces, p2, cols=2)
+    for p in (p1, p2):
+        assert os.path.getsize(p) > 1000

@@ -109,3 +109,67 @@ def test_gan_step_data_parallel_cpu_mesh():
     # params remain replicated after the step
     leaf = jax.tree.leaves(state.params)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_plain_train_step_bf16_mixed_precision():
+    """train_bf16: model computes in bfloat16, master params/optimizer stay
+    f32, metrics finite and close to the f32 step's."""
+    batch = tiny_batch()
+    mesh = create_mesh(jax.devices('cpu')[:1])
+
+    cfg32 = default_config(env=dict(TINY, use_gan="0"))
+    state32 = init_state(cfg32, jax.random.PRNGKey(0), batch)
+    step32, _ = make_plain_train_step(cfg32, mesh)
+    _, m32 = step32(state32, batch, jax.random.PRNGKey(1))
+
+    cfg16 = default_config(env=dict(TINY, use_gan="0", train_bf16="1"))
+    state16 = init_state(cfg16, jax.random.PRNGKey(0), batch)
+    step16, _ = make_plain_train_step(cfg16, mesh)
+    new16, m16 = step16(state16, batch, jax.random.PRNGKey(1))
+
+    assert all(np.isfinite(float(v)) for v in m16.values()), m16
+    # params remain f32 masters
+    assert all(
+        a.dtype == np.float32
+        for a in jax.tree.leaves(new16.params)
+        if np.issubdtype(a.dtype, np.floating)
+    )
+    # bf16 losses track the f32 ones to bf16 tolerance
+    for k in ("duration_loss", "prior_loss"):
+        rel = abs(float(m16[k]) - float(m32[k])) / max(abs(float(m32[k])), 1e-3)
+        assert rel < 0.1, (k, float(m16[k]), float(m32[k]))
+
+
+def test_gan_train_step_bf16_runs():
+    cfg = default_config(env=dict(TINY, use_gan="1", train_bf16="1"))
+    batch = tiny_batch()
+    state = init_state(cfg, jax.random.PRNGKey(0), batch)
+    mesh = create_mesh(jax.devices('cpu')[:1])
+    train_step, _ = make_gan_train_step(cfg, mesh)
+    state, metrics = train_step(
+        state, batch, jax.random.PRNGKey(1),
+        train_disc=True, train_gen=True, use_r1=True,
+    )
+    assert all(np.isfinite(float(v)) for v in metrics.values()), metrics
+    assert all(
+        a.dtype == np.float32
+        for a in jax.tree.leaves(state.disc_params)
+        if np.issubdtype(a.dtype, np.floating)
+    )
+
+
+def test_gan_pitch_energy_losses():
+    cfg = default_config(env=dict(
+        TINY, use_gan="1", use_pitch_loss="1", use_energy_loss="1",
+    ))
+    batch = tiny_batch()
+    state = init_state(cfg, jax.random.PRNGKey(0), batch)
+    mesh = create_mesh(jax.devices('cpu')[:1])
+    train_step, _ = make_gan_train_step(cfg, mesh)
+    state, metrics = train_step(
+        state, batch, jax.random.PRNGKey(1),
+        train_disc=True, train_gen=True, use_r1=False,
+    )
+    assert float(metrics["pitch_loss"]) >= 0.0
+    assert float(metrics["energy_loss"]) > 0.0
+    assert all(np.isfinite(float(v)) for v in metrics.values()), metrics
