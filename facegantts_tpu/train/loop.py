@@ -100,7 +100,10 @@ def warm_start(cfg: Config, state: TrainState) -> TrainState:
 def train(cfg: Config, work_dir: str = "runs/default", max_steps: Optional[int] = None):
     """Run training until max_steps; returns the final TrainState."""
     max_steps = max_steps or cfg.max_steps
-    logger = MetricLogger(work_dir)
+    # multi-host: only process 0 logs/evals (reference gates on
+    # trainer.global_rank, custom_callbacks.py:112,141,177,213)
+    is_main = jax.process_index() == 0
+    logger = MetricLogger(work_dir) if is_main else None
     ckpt_dir = os.path.join(work_dir, "checkpoints")
 
     train_ds = load_packed(cfg, "train") or SyntheticDataset(n_items=256, n_mels=cfg.n_mels)
@@ -146,7 +149,7 @@ def train(cfg: Config, work_dir: str = "runs/default", max_steps: Optional[int] 
                 state, metrics = train_step(state, batch, srng)
             step += 1
 
-            if step % cfg.log_every_n_steps == 0 or step == 1:
+            if (step % cfg.log_every_n_steps == 0 or step == 1) and is_main:
                 m = {k: float(v) for k, v in metrics.items()}
                 dt = time.time() - t_last
                 m["steps_per_sec"] = (step - n_last) / max(dt, 1e-9)
@@ -155,9 +158,10 @@ def train(cfg: Config, work_dir: str = "runs/default", max_steps: Optional[int] 
                 print(f"[step {step}] " + " ".join(f"{k}={v:.4f}" for k, v in m.items()))
 
             if step % cfg.save_step == 0:
+                # all processes participate (orbax coordinates multi-host)
                 ck.save_checkpoint(ckpt_dir, state, step, keep=cfg.keep_top_k)
 
-            if cfg.eval_interval and step % cfg.eval_interval == 0:
+            if cfg.eval_interval and step % cfg.eval_interval == 0 and is_main:
                 from facegantts_tpu.evaluation.intrain import run_intrain_eval
 
                 results = run_intrain_eval(
@@ -183,8 +187,10 @@ def train(cfg: Config, work_dir: str = "runs/default", max_steps: Optional[int] 
             vals.append({k: float(v) for k, v in vm.items()})
         if vals:
             avg = {k: float(np.mean([v[k] for v in vals])) for k in vals[0]}
-            logger.log(step, avg, prefix="val")
-            print(f"[epoch {epoch}] val " + " ".join(f"{k}={v:.4f}" for k, v in avg.items()))
+            if is_main:
+                logger.log(step, avg, prefix="val")
+                print(f"[epoch {epoch}] val "
+                      + " ".join(f"{k}={v:.4f}" for k, v in avg.items()))
             val_loss = avg.get("total_loss", float("inf"))
             if val_loss < best_val:
                 best_val = val_loss

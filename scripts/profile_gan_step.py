@@ -9,8 +9,11 @@ step in isolation on the current device (same shapes as scripts/bench_train):
 Usage: python scripts/profile_gan_step.py [batch] [ty] [train_bf16]
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -23,14 +26,22 @@ from facegantts_tpu.train.state import Batch
 from facegantts_tpu.utils.cache import enable_compilation_cache
 
 
+def _sync(out):
+    """Force completion: device_get a tiny slice of one leaf.  (On the axon
+    tunnel jax.block_until_ready returns before execution completes; a
+    device_get genuinely waits.)"""
+    leaf = jax.tree.leaves(out)[0]
+    jax.device_get(leaf.ravel()[:1])
+
+
 def timeit(name, fn, *args, n=5):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     times = []
     for _ in range(n):
         t0 = time.perf_counter()
         out = fn(*args)
-        jax.block_until_ready(out)
+        _sync(out)
         times.append(time.perf_counter() - t0)
     med = float(np.median(times))
     print(f"{name:>10}: {med*1000:8.1f} ms")
@@ -105,11 +116,17 @@ def main():
     mask = jnp.ones((cfg.micro_batch_size, tx, ty), jnp.float32)
     timeit("mas", maximum_path, value, mask)
 
-    # full step for scale
+    # full step for scale (state is donated: rebuild it each call)
     step, _ = make_gan_train_step(cfg)
     s2, m = step(state, batch, key)
-    jax.block_until_ready(m)
-    timeit("full_step", lambda s, b, k: step(s, b, k)[1], s2, batch, key, n=3)
+    _sync(m)
+
+    def run_full(b, k):
+        nonlocal s2
+        s2, m = step(s2, b, k)
+        return m
+
+    timeit("full_step", run_full, batch, key, n=3)
 
 
 if __name__ == "__main__":

@@ -19,6 +19,14 @@ from facegantts_tpu.train.loop import train
 def main(argv=None):
     overrides = parse_cli_overrides(argv if argv is not None else sys.argv[1:])
     work_dir = overrides.pop("work_dir", "runs/default")
+    if str(overrides.pop("jax_distributed", "0")) == "1":
+        # multi-host pod: every worker runs this same command
+        # (scripts/launch_pod.sh); topology comes from the TPU metadata
+        import jax
+
+        jax.distributed.initialize()
+        print(f"[INFO] jax.distributed: process {jax.process_index()}"
+              f"/{jax.process_count()}, {jax.local_device_count()} local devices")
     cfg = default_config(overrides=overrides)
     print(f"[INFO] use_gan={cfg.use_gan} batch_size={cfg.batch_size} "
           f"max_steps={cfg.max_steps} work_dir={work_dir}")
