@@ -102,8 +102,35 @@ def bench_gan_step(n_iters: int = 5):
     return sps
 
 
+def bench_batch_throughput(batch: int = 8, n_iters: int = 5):
+    """Throughput mode: `batch` utterances per device dispatch."""
+    from facegantts_tpu.config import default_config
+    from facegantts_tpu.synthesis import Synthesizer, load_face
+
+    cfg = default_config(env={})
+    synth = Synthesizer(cfg)
+    face = load_face(os.path.join(os.path.dirname(__file__), "test", "face.png"))
+    base = "The quick brown fox jumps over the lazy dog near the river bank."
+    texts = [base] * batch  # same bucket -> one dispatch
+    t0 = time.perf_counter()
+    wavs = synth.synthesize_batch(texts, face)
+    log(f"batch compile+first: {time.perf_counter() - t0:.1f}s")
+    audio_s = sum(len(w) for w in wavs) / cfg.sample_rate
+    times = []
+    for i in range(n_iters):
+        t0 = time.perf_counter()
+        wavs = synth.synthesize_batch(texts, face, seed=i)
+        times.append(time.perf_counter() - t0)
+    sec = float(np.median(times))
+    log(f"batched synthesis: {batch} utts ({audio_s:.1f}s audio) in {sec*1000:.0f} ms "
+        f"-> {batch/sec:.1f} utt/s, RTF {sec/audio_s:.4f}")
+    return batch / sec
+
+
 def main():
     rtf = bench_inference()
+    if os.environ.get("BENCH_BATCH", "0") == "1":
+        bench_batch_throughput()
     if os.environ.get("BENCH_TRAIN", "0") == "1":
         bench_gan_step()
     print(json.dumps({

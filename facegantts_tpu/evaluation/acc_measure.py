@@ -8,7 +8,13 @@ random trials both directions (face->voice and voice->face).
 
 Usage:
   python -m facegantts_tpu.evaluation.acc_measure packed_data_dir=... \
-      [n_way=5] [n_trials=100] [syncnet_ckpt=...]
+      [n_way=5] [n_trials=100] [syncnet_ckpt=...] [bandpass=0]
+
+bandpass=1 reruns the measurement with a 300 Hz - 4 kHz band-pass applied to
+the voice input — the reference's sanity check that retrieval tracks the
+speaker rather than out-of-band noise (acc_measure.py:55-57,87-98, which
+uses torchaudio biquads on the wav; here the band-limit is applied in the
+mel domain by flooring out-of-band filterbank bins).
 """
 
 import sys
@@ -48,12 +54,37 @@ def retrieval_accuracy(
     }
 
 
-def embed_dataset(dataset, syncnet_vid: Callable, syncnet_aud: Callable, limit: int = 200):
-    """Compute paired (voice, face) embeddings over dataset items."""
+def mel_bandpass(mel: np.ndarray, sr: int, n_mels: int, f_min: float,
+                 f_max: float, lo: float = 300.0, hi: float = 4000.0) -> np.ndarray:
+    """Floor mel bins whose center frequency lies outside [lo, hi] Hz
+    (mel-domain equivalent of the reference's highpass+lowpass biquads)."""
+    def hz_to_mel(f):
+        return 2595.0 * np.log10(1.0 + f / 700.0)
+
+    def mel_to_hz(m):
+        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+
+    f_max = f_max or sr / 2.0
+    mels = np.linspace(hz_to_mel(f_min), hz_to_mel(f_max), n_mels + 2)
+    centers = mel_to_hz(mels[1:-1])  # (n_mels,)
+    keep = (centers >= lo) & (centers <= hi)
+    out = mel.copy()
+    out[~keep, :] = mel.min()
+    return out
+
+
+def embed_dataset(dataset, syncnet_vid: Callable, syncnet_aud: Callable,
+                  limit: int = 200, band=None):
+    """Compute paired (voice, face) embeddings over dataset items.
+
+    band=(sr, n_mels, f_min, f_max) applies the band-pass sanity filter."""
     v, f = [], []
     for i in range(min(limit, len(dataset))):
         item = dataset[i]
-        mel = item["y"][None, :, :, None]
+        mel = item["y"]
+        if band is not None:
+            mel = mel_bandpass(mel, *band)
+        mel = mel[None, :, :, None]
         face = item["spk"][None]
         v.append(np.asarray(syncnet_aud(mel)).mean(axis=1)[0])
         f.append(np.asarray(syncnet_vid(face))[0])
@@ -64,6 +95,7 @@ def main(argv=None):
     overrides = parse_cli_overrides(argv if argv is not None else sys.argv[1:])
     n_way = int(overrides.pop("n_way", 5))
     n_trials = int(overrides.pop("n_trials", 100))
+    bandpass = str(overrides.pop("bandpass", "0")) == "1"
     cfg = default_config(overrides=overrides)
 
     import jax
@@ -93,6 +125,14 @@ def main(argv=None):
     results = retrieval_accuracy(v, f, n_way, n_trials, cfg.seed)
     for k, val in results.items():
         print(f"{k}: {val:.4f}")
+
+    if bandpass:
+        band = (cfg.sample_rate, cfg.n_mels, cfg.f_min, cfg.f_max)
+        v, f = embed_dataset(ds, vid, aud, band=band)
+        results = retrieval_accuracy(v, f, n_way, n_trials, cfg.seed)
+        print("-- band-pass 300-4000 Hz sanity check --")
+        for k, val in results.items():
+            print(f"bandpass/{k}: {val:.4f}")
 
 
 if __name__ == "__main__":

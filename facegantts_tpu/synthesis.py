@@ -171,7 +171,10 @@ class Synthesizer:
         return jax.jit(fn)
 
     # ------------------------------------------------------------- public
+    @lru_cache(maxsize=4096)
     def encode_text(self, text: str) -> np.ndarray:
+        """text -> interspersed symbol ids; memoized (the frontend's cleaner
+        + CMU lookups are pure, and serving workloads repeat prompts)."""
         seq = text_to_sequence(text, dictionary=self.cmu)
         if self.cfg.add_blank:
             seq = intersperse(seq)

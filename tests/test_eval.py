@@ -71,3 +71,18 @@ def test_retrieval_accuracy():
     g = rng.standard_normal((40, 16))
     res2 = retrieval_accuracy(v, g, n_way=5, n_trials=400)
     assert abs(res2["voice_to_face_acc"] - 0.2) < 0.12
+
+
+def test_mel_bandpass_floors_out_of_band_bins():
+    from facegantts_tpu.evaluation.acc_measure import mel_bandpass
+
+    rng = np.random.default_rng(0)
+    mel = rng.standard_normal((128, 40)).astype(np.float32)
+    out = mel_bandpass(mel, 16000, 128, 0.0, 8000.0)
+    # low bins (< 300 Hz) and top bins (> 4 kHz) floored, mid band untouched
+    assert np.all(out[0] == mel.min())
+    assert np.all(out[-1] == mel.min())
+    mid = 128 // 2
+    np.testing.assert_array_equal(out[mid], mel[mid])
+    # flooring reduces total energy only
+    assert out.sum() <= mel.sum()
