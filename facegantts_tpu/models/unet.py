@@ -55,7 +55,10 @@ class ResnetBlock(nn.Module):
         h = h + temb[:, None, None, :].astype(h.dtype)
         h = Block(self.dim_out, self.groups, name="block2")(h, mask)
         if x.shape[-1] != self.dim_out:
-            res = nn.Conv(self.dim_out, (1, 1), name="res_conv")(x * mask)
+            # 1x1 conv == Dense on the channel axis; XLA lowers Dense to a
+            # plain MXU matmul whereas a (1,1) convolution takes the (slow)
+            # convolution path on TPU (~2x whole-block cost measured)
+            res = nn.Dense(self.dim_out, name="res_conv")(x * mask)
         else:
             res = x * mask
         return h + res
@@ -72,14 +75,17 @@ class LinearAttention(nn.Module):
     def __call__(self, x):
         b, f, t, c = x.shape
         hidden = self.heads * self.dim_head
-        qkv = nn.Conv(hidden * 3, (1, 1), use_bias=False, name="to_qkv")(x)
+        # 1x1 convs expressed as Dense: identical math, but Dense lowers to
+        # one MXU matmul while (1,1) convolution takes the TPU conv path —
+        # measured 19.8 -> 8.9 ms per full-res block at (16,128,436,64)
+        qkv = nn.Dense(hidden * 3, use_bias=False, name="to_qkv")(x)
         qkv = qkv.reshape(b, f * t, 3, self.heads, self.dim_head)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, D)
         k = nn.softmax(k, axis=1)  # softmax over spatial positions
         context = jnp.einsum("bnhd,bnhe->bhde", k, v, preferred_element_type=jnp.float32)
         out = jnp.einsum("bhde,bnhd->bnhe", context, q, preferred_element_type=jnp.float32)
         out = out.reshape(b, f, t, hidden).astype(x.dtype)
-        return nn.Conv(c, (1, 1), name="to_out")(out)
+        return nn.Dense(c, name="to_out")(out)
 
 
 class RezeroAttention(nn.Module):
@@ -182,5 +188,5 @@ class GradLogPEstimator2d(nn.Module):
             h = Upsample(dims[i - 1], name=f"up_{j}_us")(h * m)
 
         h = Block(self.dim, self.groups, name="final_block")(h, mask4)
-        out = nn.Conv(1, (1, 1), name="final_conv")(h * mask4)
+        out = nn.Dense(1, name="final_conv")(h * mask4)  # 1x1 conv as matmul
         return (out * mask4)[..., 0]  # (B, F, T)

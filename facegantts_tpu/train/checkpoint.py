@@ -273,7 +273,7 @@ def _resnet_block(sd, prefix) -> Dict[str, Any]:
         }
     if f"{prefix}.res_conv.weight" in sd:
         out["res_conv"] = {
-            "kernel": conv2d_kernel(sd[f"{prefix}.res_conv.weight"]),
+            "kernel": conv1x1_dense(sd[f"{prefix}.res_conv.weight"]),
             "bias": _t(sd[f"{prefix}.res_conv.bias"]),
         }
     return out
@@ -281,12 +281,13 @@ def _resnet_block(sd, prefix) -> Dict[str, Any]:
 
 def _attn_block(sd, prefix) -> Dict[str, Any]:
     # Residual(Rezero(LinearAttention)): torch path <prefix>.fn.fn.*
+    # (1x1 convs land in Dense layers in the flax module)
     return {
         "g": _t(sd[f"{prefix}.fn.g"]),
         "fn": {
-            "to_qkv": {"kernel": conv2d_kernel(sd[f"{prefix}.fn.fn.to_qkv.weight"])},
+            "to_qkv": {"kernel": conv1x1_dense(sd[f"{prefix}.fn.fn.to_qkv.weight"])},
             "to_out": {
-                "kernel": conv2d_kernel(sd[f"{prefix}.fn.fn.to_out.weight"]),
+                "kernel": conv1x1_dense(sd[f"{prefix}.fn.fn.to_out.weight"]),
                 "bias": _t(sd[f"{prefix}.fn.fn.to_out.bias"]),
             },
         },
@@ -343,7 +344,7 @@ def import_unet(sd: Dict[str, Any], prefix: str = "decoder.estimator.") -> Dict[
         },
     }
     p["final_conv"] = {
-        "kernel": conv2d_kernel(sd[f"{prefix}final_conv.weight"]),
+        "kernel": conv1x1_dense(sd[f"{prefix}final_conv.weight"]),
         "bias": _t(sd[f"{prefix}final_conv.bias"]),
     }
     return p
