@@ -74,16 +74,25 @@ class LinearAttention(nn.Module):
     @nn.compact
     def __call__(self, x):
         b, f, t, c = x.shape
-        hidden = self.heads * self.dim_head
-        # 1x1 convs expressed as Dense: identical math, but Dense lowers to
-        # one MXU matmul while (1,1) convolution takes the TPU conv path —
-        # measured 19.8 -> 8.9 ms per full-res block at (16,128,436,64)
+        h, d = self.heads, self.dim_head
+        hidden = h * d
+        # Layout-preserving formulation (device-trace driven): 1x1 convs as
+        # Dense (MXU matmul lowering); q/k/v via lane-aligned slices of the
+        # packed projection (torch to_qkv channel order is [3][H][D], so
+        # [:hidden] IS q); softmax/contractions over the (f, t) grid
+        # directly.  The textbook reshape to (B, f*t, 3, H, D) materialized
+        # two ~1.4 GB layout copies per eval at training shapes — this form
+        # removes them (57.6 -> 45.6 ms per U-Net eval at (16,128,436)).
         qkv = nn.Dense(hidden * 3, use_bias=False, name="to_qkv")(x)
-        qkv = qkv.reshape(b, f * t, 3, self.heads, self.dim_head)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, D)
-        k = nn.softmax(k, axis=1)  # softmax over spatial positions
-        context = jnp.einsum("bnhd,bnhe->bhde", k, v, preferred_element_type=jnp.float32)
-        out = jnp.einsum("bhde,bnhd->bnhe", context, q, preferred_element_type=jnp.float32)
+        q = qkv[..., :hidden].reshape(b, f, t, h, d)
+        k = qkv[..., hidden:2 * hidden].reshape(b, f, t, h, d)
+        v = qkv[..., 2 * hidden:].reshape(b, f, t, h, d)
+        # softmax over spatial positions, per (b, h, d)
+        m = jnp.max(k, axis=(1, 2), keepdims=True)
+        ek = jnp.exp(k - m)
+        kn = ek / jnp.sum(ek, axis=(1, 2), keepdims=True)
+        context = jnp.einsum("bfthd,bfthe->bhde", kn, v, preferred_element_type=jnp.float32)
+        out = jnp.einsum("bhde,bfthd->bfthe", context, q, preferred_element_type=jnp.float32)
         out = out.reshape(b, f, t, hidden).astype(x.dtype)
         return nn.Dense(c, name="to_out")(out)
 

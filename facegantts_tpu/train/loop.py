@@ -76,6 +76,26 @@ class EarlyStopping:
         return self.bad > self.patience
 
 
+class DivergenceWatchdog:
+    """Failure detection the reference lacks (SURVEY.md §5: only a per-micro-
+    batch NaN skip, face_tts_w_discriminator.py:203-205): a run whose total
+    loss is non-finite for `patience` consecutive logged steps is diverged —
+    the loop saves a final checkpoint and halts instead of burning the
+    remaining accelerator-hours."""
+
+    def __init__(self, patience: int = 10):
+        self.patience = patience
+        self.streak = 0
+
+    def update(self, metrics) -> bool:
+        vals = [float(v) for v in metrics.values()]
+        if vals and not all(np.isfinite(v) for v in vals):
+            self.streak += 1
+        else:
+            self.streak = 0
+        return self.streak >= self.patience
+
+
 def warm_start(cfg: Config, state: TrainState) -> TrainState:
     """Load reference torch weights (strict=False, disc-stripped) or resume
     an orbax checkpoint (reference train.py:110-123 falls back to scratch)."""
@@ -127,6 +147,7 @@ def train(cfg: Config, work_dir: str = "runs/default", max_steps: Optional[int] 
         train_step, val_step = make_plain_train_step(cfg, mesh)
 
     stopper = EarlyStopping(cfg.early_stopping_patience, cfg.early_stopping_min_delta)
+    watchdog = DivergenceWatchdog()
     profiler = StepProfiler(cfg.profile_dir, cfg.profile_start_step, cfg.profile_num_steps)
     step = int(state.step)
     epoch = 0
@@ -149,13 +170,20 @@ def train(cfg: Config, work_dir: str = "runs/default", max_steps: Optional[int] 
                 state, metrics = train_step(state, batch, srng)
             step += 1
 
-            if (step % cfg.log_every_n_steps == 0 or step == 1) and is_main:
+            if step % cfg.log_every_n_steps == 0 or step == 1:
                 m = {k: float(v) for k, v in metrics.items()}
-                dt = time.time() - t_last
-                m["steps_per_sec"] = (step - n_last) / max(dt, 1e-9)
-                t_last, n_last = time.time(), step
-                logger.log(step, m)
-                print(f"[step {step}] " + " ".join(f"{k}={v:.4f}" for k, v in m.items()))
+                if watchdog.update(m):
+                    print(f"[FATAL] losses non-finite for {watchdog.patience} "
+                          f"consecutive logged steps; halting at step {step}")
+                    ck.save_checkpoint(ckpt_dir, state, step, keep=cfg.keep_top_k)
+                    profiler.close()
+                    return state
+                if is_main:
+                    dt = time.time() - t_last
+                    m["steps_per_sec"] = (step - n_last) / max(dt, 1e-9)
+                    t_last, n_last = time.time(), step
+                    logger.log(step, m)
+                    print(f"[step {step}] " + " ".join(f"{k}={v:.4f}" for k, v in m.items()))
 
             if step % cfg.save_step == 0:
                 # all processes participate (orbax coordinates multi-host)

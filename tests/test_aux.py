@@ -297,3 +297,30 @@ def test_orbax_roundtrip_and_generator_restore(tmp_path):
     variables = ck.restore_generator_variables(d)
     np.testing.assert_allclose(variables["params"]["encoder"]["w"], np.arange(4.0))
     np.testing.assert_allclose(variables["batch_stats"]["syncnet"]["m"], np.ones(2))
+
+
+# ---------------------------------------------------------------------------
+# trainer robustness helpers (train/loop.py)
+# ---------------------------------------------------------------------------
+
+def test_early_stopping_patience():
+    from facegantts_tpu.train.loop import EarlyStopping
+
+    es = EarlyStopping(patience=2, min_delta=0.01)
+    assert not es.update(1.0)
+    assert not es.update(0.5)     # improvement resets
+    assert not es.update(0.5)     # bad 1
+    assert not es.update(0.499)   # bad 2 (< min_delta improvement)
+    assert es.update(0.5)         # bad 3 > patience -> stop
+
+
+def test_divergence_watchdog():
+    from facegantts_tpu.train.loop import DivergenceWatchdog
+
+    wd = DivergenceWatchdog(patience=3)
+    bad = {"total_loss": float("nan")}
+    good = {"total_loss": 1.0}
+    assert not wd.update(bad) and not wd.update(bad)
+    assert not wd.update(good)    # recovery resets the streak
+    assert not wd.update(bad) and not wd.update(bad)
+    assert wd.update(bad)         # 3rd consecutive -> halt
