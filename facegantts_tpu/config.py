@@ -248,6 +248,14 @@ _FIELD_TYPES = {f.name: f.type for f in fields(Config)}
 def _coerce(name: str, raw: Any) -> Any:
     """Coerce a string override to the declared field type."""
     default = getattr(Config(), name)
+    if name == "decay_power" and isinstance(raw, str):
+        # "cosine" | "linear" | "constant" | float polynomial power
+        # (reference scheduler.py:51-70); the float-typed default would
+        # otherwise make the named schedules unreachable from the CLI
+        try:
+            return float(raw)
+        except ValueError:
+            return raw
     if isinstance(raw, str):
         t = type(default) if default is not None else str
         if t is bool:

@@ -324,3 +324,63 @@ def test_divergence_watchdog():
     assert not wd.update(good)    # recovery resets the streak
     assert not wd.update(bad) and not wd.update(bad)
     assert wd.update(bad)         # 3rd consecutive -> halt
+
+
+def test_reformat_split_reorganization(tmp_path, monkeypatch):
+    import facegantts_tpu.data.lrs2_prep as prep
+
+    src = tmp_path / "src"
+    for spk, clip in [("spk00001", "c1"), ("spk00001", "c2"), ("spk00002", "c3")]:
+        d = src / spk
+        d.mkdir(parents=True, exist_ok=True)
+        (d / f"{clip}.mp4").write_bytes(b"x")
+        (d / f"{clip}.txt").write_text(f"Text: hello {clip}")
+
+    mapping = {
+        "orig/c1": "spk00001/c1",   # train, long enough
+        "orig/c2": "spk00001/c2",   # train, too short
+        "orig/c3": "spk00002/c3",   # val
+        "orig/c4": "spk00009/c9",   # in no filelist -> unmatched (missing src)
+    }
+    durations = {"c1": 5.0, "c2": 0.5, "c3": 2.0}
+    monkeypatch.setattr(
+        prep, "media_duration",
+        lambda p: durations.get(os.path.basename(p).split(".")[0], 0.0),
+    )
+    dest = tmp_path / "dest"
+    counts = prep.reformat(
+        str(src), str(dest),
+        {"train": {"orig/c1", "orig/c2"}, "val": {"orig/c3"}, "test": set()},
+        mapping,
+    )
+    assert counts["placed"] == 2 and counts["too_short"] == 1
+    # layout consumed by data/preprocess.py: txt+mp4 in trainval/<spk>/
+    assert (dest / "trainval" / "spk00001" / "c1.txt").exists()
+    assert (dest / "trainval" / "spk00001" / "c1.mp4").exists()
+    assert (dest / "mp4" / "train" / "spk00001" / "c1.mp4").exists()
+    assert (dest / "mp4" / "val" / "spk00002" / "c3.mp4").exists()
+    assert (dest / "unmatched" / "too_short" / "spk00001_c2.mp4").exists()
+    assert (dest / "unmatched" / "too_short" / "spk00001_c2.txt").exists()
+    assert not (dest / "mp4" / "train" / "spk00001" / "c2.mp4").exists()
+
+
+def test_schedule_variants():
+    import numpy as np
+
+    from facegantts_tpu.config import default_config
+    from facegantts_tpu.train.optim import build_schedule
+
+    for sel in ("constant", "cosine", "linear", 2.0):
+        cfg = default_config(overrides=dict(
+            decay_power=sel, learning_rate=1e-3, warmup_steps=10, max_steps=100,
+        ))
+        sched = build_schedule(cfg)
+        # warmup ramps from ~0 to lr
+        assert float(sched(0)) < float(sched(9)) <= 1e-3 + 1e-9
+        mid = float(sched(50))
+        end = float(sched(99))
+        assert 0.0 <= end <= mid <= 1e-3 + 1e-9
+        if sel == "constant":
+            assert abs(mid - 1e-3) < 1e-9 and abs(end - 1e-3) < 1e-9
+        else:
+            assert end < 1e-3  # decaying schedules decay (poly to end_lr)
