@@ -384,3 +384,41 @@ def test_schedule_variants():
             assert abs(mid - 1e-3) < 1e-9 and abs(end - 1e-3) < 1e-9
         else:
             assert end < 1e-3  # decaying schedules decay (poly to end_lr)
+
+
+# ---------------------------------------------------------------------------
+# audio io + config override surfaces
+# ---------------------------------------------------------------------------
+
+def test_wav_roundtrip_int16(tmp_path):
+    from facegantts_tpu.utils.audio import load_wav, save_wav
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    wav = (0.7 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    p = str(tmp_path / "t.wav")
+    save_wav(p, wav, sr)
+    back, sr2 = load_wav(p)
+    assert sr2 == sr and len(back) == len(wav)
+    # int16 quantization tolerance
+    assert float(np.max(np.abs(back - wav))) < 2.0 / 32768 + 1e-6
+    # out-of-range input is clipped, not wrapped
+    save_wav(p, wav * 4.0, sr)
+    clipped, _ = load_wav(p)
+    assert float(np.max(np.abs(clipped))) <= 1.0
+
+
+def test_config_env_and_cli_overrides(monkeypatch):
+    from facegantts_tpu.config import default_config, parse_cli_overrides
+
+    # env override (reference config.py:10-181 semantics)
+    cfg = default_config(env={"batch_size": "32", "use_gan": "1"})
+    assert cfg.batch_size == 32 and cfg.use_gan == 1
+    # CLI key=value parsing
+    o = parse_cli_overrides(["learning_rate=5e-5", "timesteps=4", "id=run7"])
+    cfg = default_config(overrides=o)
+    assert cfg.learning_rate == 5e-5 and cfg.timesteps == 4 and cfg.id == "run7"
+    # dict-style access parity with the reference's _config["key"]
+    assert cfg["timesteps"] == 4 and cfg.get("missing", 9) == 9
+    # derived values (reference config.py:69,145)
+    assert cfg.out_size == 128 and cfg.n_feats == cfg.n_mels
