@@ -165,11 +165,15 @@ class Config:
     use_bf16: int = 1  # bfloat16 activations on the MXU path (inference)
     train_bf16: int = 0  # mixed-precision training: f32 master params,
     #                      bf16 model compute (grads accumulate in f32)
+    gan_sampler_bf16: int = 1  # no-grad GAN fake-mel sampler in bf16 (same
+    #                      precision as default inference; grads stay f32)
 
     # -- checkpoints ----------------------------------------------------------
     resume_from: str = ""
     checkpoint_dir: str = "checkpoints"
-    keep_top_k: int = 3
+    keep_top_k: int = 3  # metric-ranked top-k on val total_loss (train.py:48-60)
+    snapshot_epochs: Tuple[int, ...] = (0, 96)  # SaveEpochZero/SaveEpoch96
+    #                       (reference custom_callbacks.py:110-127,288-304)
 
     # -- inference -------------------------------------------------------------
     test_txt: str = "test/text.txt"
@@ -190,6 +194,8 @@ class Config:
     test_only: int = 0
     eval_interval: int = 1000
     eval_n_samples: int = 4  # utterances synthesized per in-training eval
+    f0_protocol: str = "world"  # "world" = reference dio+stonemask+fastdtw
+    #                              protocol (eval.py:49-79); "yin" = faster
     mos_ckpt: str = ""  # optional UTMOS-style linear-head checkpoint
     early_stopping_patience: int = 30
     early_stopping_min_delta: float = 0.001

@@ -89,7 +89,14 @@ def evaluate_pairs(
         ref, sr_r = load_wav(gt)
         _, sim = M.speaker_similarity(syncnet_apply, _mel(ref, cfg), _mel(gen, cfg))
         sims.append(sim)
-        f0s.append(M.log_f0_rmse(ref, gen, cfg.sample_rate))
+        if cfg.f0_protocol == "world":
+            # reference protocol: dio+stonemask F0, fastdtw on mel-cepstra
+            # (eval.py:49-79) — absolute values comparable with reference
+            from facegantts_tpu.evaluation.world import world_log_f0_rmse
+
+            f0s.append(world_log_f0_rmse(ref, gen, cfg.sample_rate))
+        else:  # "yin": faster estimator, same alignment structure
+            f0s.append(M.log_f0_rmse(ref, gen, cfg.sample_rate))
         mcds.append(M.mcd(ref, gen, cfg.sample_rate))
         lsds.append(M.log_spectral_distance(ref, gen, cfg.n_fft, cfg.hop_len))
         moses.append(mos(gen, cfg.sample_rate))
