@@ -21,10 +21,12 @@ local loss normalization + gradient mean is exactly DDP's semantics
 Key behavioral facts carried over (and exploited):
 - The reference's `FaceTTS.forward` is @torch.no_grad (face_tts.py:92), so
   its G-phase adversarial/fm terms carry NO generator gradient.  We
-  therefore sample each micro-batch's fake mel ONCE and reuse it for both D
-  and G phases — identical training dynamics at half the sampler cost.
+  therefore sample ALL fake mels in one batched no-grad reverse-diffusion
+  pass over the local batch (better MXU utilization than per-micro-batch
+  sampling) and reuse them in both D and G phases — identical training
+  dynamics at a fraction of the reference's sampler cost.
   cfg.adv_grad_through_sampler=1 instead differentiates through the
-  (rematerialized) reverse scan.
+  (rematerialized) reverse scan per micro-batch.
 - Micro-batch gradients are averaged by n_micro with non-finite-loss
   micro-batches contributing zero, matching the reference's NaN skip
   (face_tts_w_discriminator.py:203-207).
@@ -176,10 +178,23 @@ def _contour_loss(feat_real, feat_fake, y_len):
 
 
 def _micro_split(batch: Batch, mb_size: int):
-    """(B_local, ...) -> (n_micro, mb, ...), n_micro inferred; B_local must be
-    a multiple of mb_size (or smaller than it)."""
+    """(B_local, ...) -> (n_micro, mb, ...); B_local must be a multiple of
+    mb_size, or smaller than it (one under-sized micro-batch).
+
+    A non-divisible larger batch is a hard error: silently rounding n down
+    (as a naive ``b // mb_size`` would) runs oversized micro-batches and
+    blows past the memory budget the user configured."""
     b = batch.x.shape[0]
-    n = max(1, b // mb_size) if b >= mb_size else 1
+    if b <= mb_size:
+        n = 1
+    elif b % mb_size == 0:
+        n = b // mb_size
+    else:
+        raise ValueError(
+            f"per-device batch {b} is not a multiple of micro_batch_size "
+            f"{mb_size}; pick sizes so B_local % micro_batch_size == 0 "
+            "(or B_local <= micro_batch_size)"
+        )
     return n, jax.tree.map(lambda a: a.reshape(n, b // n, *a.shape[1:]), batch)
 
 
@@ -218,11 +233,17 @@ def make_plain_train_step(cfg: Config, mesh: Optional[Mesh] = None):
     gen_tx = None  # built lazily against the param tree
     down, up = _mp_caster(cfg)
 
-    def loss_fn(params, model_state, batch: Batch, rng):
+    def loss_fn(params, model_state, batch: Batch, rng, train: bool):
+        # Training runs with dropout live (reference trains with prenet
+        # dropout 0.5 hardwired, model/text_encoder.py:355, plus
+        # enc_dropout elsewhere); validation stays deterministic.
+        rng, rng_do = jax.random.split(rng)
         parts, _ = model.apply(
             {"params": down(params), **down(model_state)}, rng, batch.x,
             batch.x_len, down(batch.y), batch.y_len, down(batch.spk),
-            cfg.out_size, method=FaceTTS.compute_loss,
+            cfg.out_size, deterministic=not train,
+            method=FaceTTS.compute_loss,
+            rngs={"dropout": rng_do} if train else {},
         )
         parts = up(parts)
         metrics = {
@@ -237,7 +258,7 @@ def make_plain_train_step(cfg: Config, mesh: Optional[Mesh] = None):
     def local_grads(params, model_state, batch, rng):
         rng = _device_rng(rng)
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, model_state, batch, rng
+            params, model_state, batch, rng, True
         )
         return (
             jax.lax.pmean(grads, "data"),
@@ -246,7 +267,7 @@ def make_plain_train_step(cfg: Config, mesh: Optional[Mesh] = None):
 
     def local_metrics(params, model_state, batch, rng):
         rng = _device_rng(rng)
-        _, metrics = loss_fn(params, model_state, batch, rng)
+        _, metrics = loss_fn(params, model_state, batch, rng, False)
         return jax.lax.pmean(metrics, "data")
 
     grads_sm = jax.shard_map(
@@ -291,12 +312,22 @@ def make_gan_train_step(cfg: Config, mesh: Optional[Mesh] = None):
     down, up = _mp_caster(cfg)
 
     def sample_fake(params, model_state, mb: Batch, rng):
+        """No-grad fake-mel sampler (reference @no_grad forward,
+        face_tts_w_discriminator.py:163-165).  With cfg.gan_sampler_bf16
+        (default on) the 10-step reverse diffusion runs in bfloat16 — the
+        same precision the DEFAULT inference path uses (cfg.use_bf16) — so
+        the bandwidth-bound U-Net moves half the HBM bytes; the result is
+        cast back to f32 before the f32 D/G loss math."""
         y_bucket = mb.y.shape[-1]
+        if cfg.gan_sampler_bf16:
+            s_down = lambda t: _cast_floats(t, jnp.bfloat16)  # noqa: E731
+        else:
+            s_down = down
         _, dec, _, _ = model.apply(
-            {"params": down(params), **down(model_state)}, mb.x, mb.x_len,
-            cfg.timesteps, y_bucket, 1.0, False, down(mb.spk), 1.0, rng,
+            {"params": s_down(params), **s_down(model_state)}, mb.x, mb.x_len,
+            cfg.timesteps, y_bucket, 1.0, False, s_down(mb.spk), 1.0, rng,
         )
-        return dec  # (B, F, T)
+        return dec.astype(jnp.float32)  # (B, F, T)
 
     def d_loss_fn(disc_params, y_real, fake, use_r1: bool):
         disc_params = down(disc_params)
@@ -344,11 +375,16 @@ def make_gan_train_step(cfg: Config, mesh: Optional[Mesh] = None):
                 _frame_energy(jax.lax.stop_gradient(down(mb.y))),
                 _frame_energy(fake), mb.y_len,
             ))
-        # GAN G-phase: full-length losses (out_size=None), reference :285-287
+        # GAN G-phase: full-length losses (out_size=None), reference :285-287.
+        # Dropout is live here like the reference's train-mode module
+        # (prenet p=0.5, model/text_encoder.py:355).
+        rng, rng_do = jax.random.split(rng)
         parts, _ = model.apply(
             {"params": down(params), **down(model_state)}, rng, mb.x, mb.x_len,
             down(mb.y), mb.y_len, down(mb.spk), None,
+            deterministic=False,
             method=FaceTTS.compute_loss,
+            rngs={"dropout": rng_do},
         )
         parts = up(parts)
         g_loss = (
@@ -378,7 +414,15 @@ def make_gan_train_step(cfg: Config, mesh: Optional[Mesh] = None):
         """Per-device: scan local micro-batches, return pmean'd grad sums."""
         rng = _device_rng(rng)
         n_micro, micro = _micro_split(batch, cfg.micro_batch_size)
+        rng, rng_fake = jax.random.split(rng)
         rngs = jax.random.split(rng, n_micro)
+        # The fake-mel sampler carries no generator gradient (reference
+        # FaceTTS.forward is @torch.no_grad, face_tts.py:92), so sample the
+        # WHOLE local batch in one batched 10-step reverse diffusion — the
+        # U-Net fills the MXU far better at B_local than at micro-batch
+        # size, and the scan below only pays for grad math.
+        fakes_all = sample_fake(params, model_state, batch, rng_fake)
+        fakes = fakes_all.reshape(n_micro, -1, *fakes_all.shape[1:])
         # grad accumulators are data-varying (per-device partial sums): mark
         # them so the scan carry types match inside shard_map
         pvary = lambda t: jax.tree.map(  # noqa: E731
@@ -389,9 +433,8 @@ def make_gan_train_step(cfg: Config, mesh: Optional[Mesh] = None):
 
         def micro_body(carry, inp):
             d_acc, g_acc = carry
-            mb, mrng = inp
-            rng_fake, rng_g = jax.random.split(mrng)
-            fake = sample_fake(params, model_state, mb, rng_fake)  # no G grad
+            mb, fake, mrng = inp
+            _, rng_g = jax.random.split(mrng)
             metrics = {}
             if train_disc:
                 (d_loss, d_m), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
@@ -416,7 +459,7 @@ def make_gan_train_step(cfg: Config, mesh: Optional[Mesh] = None):
             return (d_acc, g_acc), metrics
 
         (d_grads, g_grads), metrics = jax.lax.scan(
-            micro_body, (zero_d, zero_g), (micro, rngs)
+            micro_body, (zero_d, zero_g), (micro, fakes, rngs)
         )
         inv = 1.0 / n_micro
         d_grads = jax.lax.pmean(jax.tree.map(lambda g: g * inv, d_grads), "data")
