@@ -6,6 +6,9 @@ encode/decode, HiFi-GAN vocoder.  TPU-first: static shape buckets per
 (text-length, mel-length) pair; each bucket compiles once and is cached.
 """
 
+import hashlib
+import weakref
+from collections import OrderedDict
 from functools import lru_cache
 from typing import List, Optional, Sequence, Tuple
 
@@ -59,10 +62,15 @@ class Synthesizer:
         if params is None:
             # random init — runs the full pipeline without checkpoints.
             # `params` is the full variables dict (params + batch_stats).
+            # The conditioning example must match cfg.spk_emb: a face image
+            # or a mel clip (reference face_tts.py:108-114).
             x = jnp.ones((1, 8), jnp.int32)
+            spk0 = (jnp.zeros((1, cfg.n_mels, 16))
+                    if cfg.spk_emb == "speech"
+                    else jnp.zeros((1, 224, 224, 3)))
             params = self.model.init(
                 rng, x, jnp.array([8]), 2, 16, 1.0, False,
-                jnp.zeros((1, 224, 224, 3)), 1.0, rng,
+                spk0, 1.0, rng,
             )
         if vocoder_params is None:
             vocoder_params = self.vocoder.init(rng, jnp.zeros((1, cfg.n_mels, 16)))[
@@ -70,13 +78,19 @@ class Synthesizer:
             ]
         self.params = params
         self.vocoder_params = vocoder_params
-        # duration cache: (ids, face identity) -> exact mel frames.  Duration
-        # prediction is deterministic (no sampling in the encoder), so a
-        # repeated (text, face) pair always yields the same length — caching
-        # it lets synthesize() run the fully fused one-dispatch path with no
-        # mid-pipeline host sync (a full round-trip saved per utterance on
-        # remote/tunneled TPUs).
-        self._ty_cache: dict = {}
+        # duration cache: (ids, face content digest) -> exact mel frames.
+        # Duration prediction is deterministic (no sampling in the encoder),
+        # so a repeated (text, face) pair always yields the same length —
+        # caching it lets synthesize() run the fully fused one-dispatch path
+        # with no mid-pipeline host sync (a full round-trip saved per
+        # utterance on remote/tunneled TPUs).  Content-keyed and LRU-bounded:
+        # a long-running serving process cannot grow without bound, and the
+        # entries pin no device arrays.
+        self._ty_cache: OrderedDict = OrderedDict()
+        self._ty_cache_max = 4096
+        # id(device array) -> (weakref, content digest) for faces uploaded
+        # via prepare_face; the weakref detects id() reuse after gc.
+        self._face_digests: dict = {}
 
     # ------------------------------------------------------------ compiled
     @lru_cache(maxsize=None)
@@ -180,10 +194,34 @@ class Synthesizer:
             seq = intersperse(seq)
         return np.asarray(seq, dtype=np.int32)
 
+    @staticmethod
+    def _face_digest(face: np.ndarray) -> str:
+        return hashlib.blake2b(
+            np.ascontiguousarray(face, np.float32).tobytes(), digest_size=16
+        ).hexdigest()
+
     def prepare_face(self, face: np.ndarray) -> jax.Array:
         """Upload a face image once; pass the result to repeated synthesize
         calls to skip the per-call 600 KB host->device transfer."""
-        return jnp.asarray(face[None].astype(np.float32))
+        arr = jnp.asarray(np.asarray(face, np.float32)[None])
+        if len(self._face_digests) > 512:  # prune dead weakrefs
+            self._face_digests = {
+                k: v for k, v in self._face_digests.items() if v[0]() is not None
+            }
+        self._face_digests[id(arr)] = (weakref.ref(arr), self._face_digest(face))
+        return arr
+
+    def update_params(self, params=None, vocoder_params=None) -> None:
+        """Swap in new weights without rebuilding the Synthesizer: the
+        compiled per-bucket programs are shape-keyed, so same-shaped params
+        reuse them with zero retracing (the in-training evaluator swaps the
+        live generator weights in every eval interval).  The duration cache
+        is invalidated — new weights predict new durations."""
+        if params is not None:
+            self.params = params
+        if vocoder_params is not None:
+            self.vocoder_params = vocoder_params
+        self._ty_cache.clear()
 
     def synthesize(
         self,
@@ -210,15 +248,21 @@ class Synthesizer:
         x = np.zeros((1, tx), np.int32)
         x[0, : len(ids)] = ids
         x_len = np.array([len(ids)], np.int32)
-        face_b = face if isinstance(face, jax.Array) else self.prepare_face(face)
+        if isinstance(face, jax.Array):
+            face_b = face
+            ent = self._face_digests.get(id(face_b))
+            digest = ent[1] if ent is not None and ent[0]() is face_b else None
+        else:
+            digest = self._face_digest(face)
+            face_b = self.prepare_face(face)
 
         rng = jax.random.PRNGKey(seed)
-        cache_key = (ids.tobytes(), id(face_b))
-        # the cached entry pins face_b so its id() can't be recycled by a
-        # different face array after garbage collection
-        cached = self._ty_cache.get(cache_key)
-        cached_frames = cached[1] if cached is not None else None
+        # content-keyed duration cache; faces of unknown provenance (device
+        # arrays not from prepare_face) skip it rather than pin/mis-key
+        cache_key = (ids.tobytes(), digest) if digest is not None else None
+        cached_frames = self._ty_cache.get(cache_key) if cache_key else None
         if cached_frames is not None:
+            self._ty_cache.move_to_end(cache_key)
             # fused fast path: bucket known, single dispatch, no mid sync
             ty = pick_bucket(cached_frames, cfg.mel_buckets)
             wav, dec, y_len = self._synth_full_fn(tx, ty, n_timesteps, temperature, stoc)(
@@ -231,7 +275,10 @@ class Synthesizer:
             )
             # the only mid-pipeline host sync: one scalar to pick the Ty bucket
             frames = int(np.ceil(float(y_lengths[0])))
-            self._ty_cache[cache_key] = (face_b, frames)
+            if cache_key is not None:
+                self._ty_cache[cache_key] = frames
+                if len(self._ty_cache) > self._ty_cache_max:
+                    self._ty_cache.popitem(last=False)
             ty = pick_bucket(frames, cfg.mel_buckets)
             wav, dec, y_len = self._decode_vocode_fn(tx, ty, n_timesteps, temperature, stoc)(
                 self.params, self.vocoder_params, mu_x, w_ceil, x_mask, y_lengths,

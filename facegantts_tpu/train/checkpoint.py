@@ -35,6 +35,109 @@ def save_checkpoint(ckpt_dir: str, state, step: int, keep: int = 3):
         mgr.save(step, args=ocp.args.StandardSave(state))
 
 
+class CheckpointPolicy:
+    """The reference's full retention policy (train.py:48-60,
+    callbacks/custom_callbacks.py:110-163,288-304) on persistent Orbax
+    managers:
+
+    - ``<work>/checkpoints``: top-k ranked BY METRIC (``val/total_loss``,
+      min) — the worst checkpoint is evicted when a better one arrives,
+      regardless of age.
+    - ``<work>/last``: the newest periodic step save (Lightning
+      ``save_last`` analog), always restorable after a crash.
+    - ``<work>/snapshots/epoch_<e>``: fixed-epoch snapshots (reference
+      SaveEpochZero / SaveEpoch96 callbacks).
+    - ``<work>/best``: the best-so-far state, plus a reference-style
+      ``best_epoch_<E>_step_<S>`` symlink next to it
+      (custom_callbacks.py:139-163 copies the file under that name).
+
+    Managers are created once and reused — no per-save directory rescan."""
+
+    def __init__(
+        self,
+        work_dir: str,
+        keep_top_k: int = 3,
+        monitor: str = "total_loss",
+        snapshot_epochs: Tuple[int, ...] = (0, 96),
+    ):
+        import orbax.checkpoint as ocp
+
+        self._ocp = ocp
+        self.work_dir = os.path.abspath(work_dir)
+        self.monitor = monitor
+        self.snapshot_epochs = set(snapshot_epochs)
+        self.best = float("inf")
+        self.best_name: Optional[str] = None
+        self.top_mgr = ocp.CheckpointManager(
+            os.path.join(self.work_dir, "checkpoints"),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=keep_top_k,
+                best_fn=lambda m: m[monitor],
+                best_mode="min",
+                keep_checkpoints_without_metrics=False,
+                create=True,
+            ),
+        )
+        self.last_mgr = ocp.CheckpointManager(
+            os.path.join(self.work_dir, "last"),
+            options=ocp.CheckpointManagerOptions(max_to_keep=1, create=True),
+        )
+        self.best_mgr = ocp.CheckpointManager(
+            os.path.join(self.work_dir, "best"),
+            options=ocp.CheckpointManagerOptions(max_to_keep=1, create=True),
+        )
+
+    def save_step(self, state, step: int) -> None:
+        """Periodic mid-epoch save -> <work>/last (newest only)."""
+        self.last_mgr.save(step, args=self._ocp.args.StandardSave(state))
+
+    def save_epoch(self, state, step: int, epoch: int, metrics: Dict[str, float]) -> bool:
+        """Epoch-end save with the monitored metric; snapshots + best copy.
+
+        Returns True when the monitored value improved."""
+        value = float(metrics[self.monitor])
+        self.top_mgr.save(
+            step,
+            args=self._ocp.args.StandardSave(state),
+            metrics={self.monitor: value},
+        )
+        if epoch in self.snapshot_epochs:
+            snap_dir = os.path.join(self.work_dir, "snapshots", f"epoch_{epoch}")
+            with self._ocp.CheckpointManager(
+                snap_dir,
+                options=self._ocp.CheckpointManagerOptions(max_to_keep=1, create=True),
+            ) as snap:
+                snap.save(step, args=self._ocp.args.StandardSave(state))
+        improved = value < self.best
+        if improved:
+            self.best = value
+            self.best_mgr.save(step, args=self._ocp.args.StandardSave(state))
+            self.best_mgr.wait_until_finished()
+            # reference-style named pointer (best_epoch_X_step_Y.ckpt)
+            if self.best_name:
+                old = os.path.join(self.work_dir, self.best_name)
+                if os.path.islink(old):
+                    os.unlink(old)
+            self.best_name = f"best_epoch_{epoch}_step_{step}"
+            link = os.path.join(self.work_dir, self.best_name)
+            try:
+                os.symlink(os.path.join("best", str(step)), link)
+            except OSError:
+                pass  # fs without symlinks: the best/ dir is authoritative
+        return improved
+
+    def close(self) -> None:
+        for mgr in (self.top_mgr, self.last_mgr, self.best_mgr):
+            mgr.wait_until_finished()
+            mgr.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def restore_checkpoint(ckpt_dir: str, target, step: Optional[int] = None):
     """Restore the latest (or given-step) TrainState."""
     import orbax.checkpoint as ocp

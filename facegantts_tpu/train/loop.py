@@ -124,7 +124,12 @@ def train(cfg: Config, work_dir: str = "runs/default", max_steps: Optional[int] 
     # trainer.global_rank, custom_callbacks.py:112,141,177,213)
     is_main = jax.process_index() == 0
     logger = MetricLogger(work_dir) if is_main else None
-    ckpt_dir = os.path.join(work_dir, "checkpoints")
+    # persistent managers; every process participates in saves (orbax
+    # coordinates multi-host), retention is metric-ranked (val total_loss)
+    policy = ck.CheckpointPolicy(
+        work_dir, keep_top_k=cfg.keep_top_k, monitor="total_loss",
+        snapshot_epochs=cfg.snapshot_epochs,
+    )
 
     train_ds = load_packed(cfg, "train") or SyntheticDataset(n_items=256, n_mels=cfg.n_mels)
     val_ds = load_packed(cfg, "val") or SyntheticDataset(n_items=32, n_mels=cfg.n_mels, seed=1)
@@ -146,13 +151,24 @@ def train(cfg: Config, work_dir: str = "runs/default", max_steps: Optional[int] 
     else:
         train_step, val_step = make_plain_train_step(cfg, mesh)
 
+    # Build the in-training evaluator ONCE: imports cfg.vocoder_ckpt (the
+    # reference vocodes eval samples with pretrained bshall HiFi-GAN,
+    # inference.py:79) and keeps compiled synthesis programs warm across
+    # eval intervals instead of re-tracing every time.
+    evaluator = None
+    if cfg.eval_interval and is_main:
+        from facegantts_tpu.evaluation.intrain import IntrainEvaluator
+
+        evaluator = IntrainEvaluator(
+            cfg, val_ds, os.path.join(work_dir, "inference")
+        )
+
     stopper = EarlyStopping(cfg.early_stopping_patience, cfg.early_stopping_min_delta)
     watchdog = DivergenceWatchdog()
     profiler = StepProfiler(cfg.profile_dir, cfg.profile_start_step, cfg.profile_num_steps)
     step = int(state.step)
     epoch = 0
     t_last, n_last = time.time(), step
-    best_val = float("inf")
 
     while step < max_steps:
         for batch in loader.epoch(epoch):
@@ -175,7 +191,8 @@ def train(cfg: Config, work_dir: str = "runs/default", max_steps: Optional[int] 
                 if watchdog.update(m):
                     print(f"[FATAL] losses non-finite for {watchdog.patience} "
                           f"consecutive logged steps; halting at step {step}")
-                    ck.save_checkpoint(ckpt_dir, state, step, keep=cfg.keep_top_k)
+                    policy.save_step(state, step)
+                    policy.close()
                     profiler.close()
                     return state
                 if is_main:
@@ -186,17 +203,23 @@ def train(cfg: Config, work_dir: str = "runs/default", max_steps: Optional[int] 
                     print(f"[step {step}] " + " ".join(f"{k}={v:.4f}" for k, v in m.items()))
 
             if step % cfg.save_step == 0:
-                # all processes participate (orbax coordinates multi-host)
-                ck.save_checkpoint(ckpt_dir, state, step, keep=cfg.keep_top_k)
+                policy.save_step(state, step)
 
-            if cfg.eval_interval and step % cfg.eval_interval == 0 and is_main:
-                from facegantts_tpu.evaluation.intrain import run_intrain_eval
-
-                results = run_intrain_eval(
-                    cfg, jax.device_get(state), val_ds,
-                    os.path.join(work_dir, "inference"), step,
-                )
+            if evaluator is not None and step % cfg.eval_interval == 0:
+                results = evaluator.run(jax.device_get(state), step)
                 logger.log(step, results, prefix="eval")
+                # TB audio of the synthesized samples (reference walks the
+                # wav dir into add_audio, custom_callbacks.py:44-55)
+                step_dir = os.path.join(
+                    work_dir, "inference", f"step_{step:08d}"
+                )
+                for i in range(int(results.get("Samples", 0))):
+                    wav_path = os.path.join(step_dir, f"sample_{i}.wav")
+                    if os.path.exists(wav_path):
+                        from facegantts_tpu.utils.audio import load_wav
+
+                        wav, sr = load_wav(wav_path)
+                        logger.log_audio(step, f"eval/sample_{i}", wav, sr)
                 print(f"[eval step {step}] "
                       + " ".join(f"{k}={v:.4f}" for k, v in results.items()))
 
@@ -220,14 +243,13 @@ def train(cfg: Config, work_dir: str = "runs/default", max_steps: Optional[int] 
                 print(f"[epoch {epoch}] val "
                       + " ".join(f"{k}={v:.4f}" for k, v in avg.items()))
             val_loss = avg.get("total_loss", float("inf"))
-            if val_loss < best_val:
-                best_val = val_loss
-                ck.save_checkpoint(os.path.join(work_dir, "best"), state, step, keep=1)
+            policy.save_epoch(state, step, epoch, avg)
             if stopper.update(val_loss):
                 print(f"[INFO] early stopping at epoch {epoch} (patience exceeded)")
                 break
         epoch += 1
 
     profiler.close()
-    ck.save_checkpoint(ckpt_dir, state, step, keep=cfg.keep_top_k)
+    policy.save_step(state, step)
+    policy.close()
     return state

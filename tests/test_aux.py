@@ -299,6 +299,46 @@ def test_orbax_roundtrip_and_generator_restore(tmp_path):
     np.testing.assert_allclose(variables["batch_stats"]["syncnet"]["m"], np.ones(2))
 
 
+def test_checkpoint_policy_metric_ranked_eviction(tmp_path):
+    """Top-k retention evicts the WORST checkpoint by metric, not the
+    oldest (reference ModelCheckpoint save_top_k=3 on val/total_loss,
+    train.py:48-60), keeps epoch snapshots, and names the best
+    (custom_callbacks.py:110-163,288-304)."""
+    import jax.numpy as jnp
+
+    from facegantts_tpu.train import checkpoint as ck
+    from facegantts_tpu.train.state import TrainState
+
+    def mk_state(step):
+        return TrainState(
+            step=jnp.asarray(step, jnp.int32),
+            params={"w": jnp.full(3, float(step))},
+            opt_state={"mu": {"w": jnp.zeros(3)}},
+            model_state={},
+        )
+
+    work = str(tmp_path / "run")
+    with ck.CheckpointPolicy(work, keep_top_k=2, snapshot_epochs=(0,)) as pol:
+        # epoch 0: loss 5.0 (also snapshotted); epoch 1: loss 1.0 (best);
+        # epoch 2: loss 3.0 -> the WORST (5.0, the oldest's metric is not
+        # what protects it) must be evicted, keeping steps 20 and 30
+        pol.save_epoch(mk_state(10), 10, 0, {"total_loss": 5.0})
+        pol.save_epoch(mk_state(20), 20, 1, {"total_loss": 1.0})
+        improved = pol.save_epoch(mk_state(30), 30, 2, {"total_loss": 3.0})
+        assert not improved
+        pol.save_step(mk_state(35), 35)
+        assert pol.best_name == "best_epoch_1_step_20"
+    kept = sorted(
+        int(d) for d in os.listdir(os.path.join(work, "checkpoints")) if d.isdigit()
+    )
+    assert kept == [20, 30], kept  # 10 evicted by metric, though 20 is older
+    assert os.path.isdir(os.path.join(work, "snapshots", "epoch_0", "10"))
+    assert os.path.isdir(os.path.join(work, "last", "35"))
+    best = ck.restore_checkpoint(os.path.join(work, "best"), mk_state(0))
+    assert int(best.step) == 20
+    np.testing.assert_allclose(best.params["w"], np.full(3, 20.0))
+
+
 # ---------------------------------------------------------------------------
 # trainer robustness helpers (train/loop.py)
 # ---------------------------------------------------------------------------

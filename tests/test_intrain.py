@@ -33,3 +33,35 @@ def test_run_intrain_eval(tmp_path):
     text = open(os.path.join(step_dir, "eval_output.txt")).read()
     # reference regex-parse format: "key: value" lines
     assert "Speaker Similarity: " in text and "UTMOS: " in text
+
+
+def test_intrain_evaluator_uses_configured_vocoder(tmp_path, monkeypatch):
+    """cfg.vocoder_ckpt must be imported ONCE and installed in the reusable
+    Synthesizer — round 1 silently vocoded eval samples with a random-init
+    HiFi-GAN (VERDICT weak 3 / ADVICE 1)."""
+    import facegantts_tpu.train.checkpoint as ck
+    from facegantts_tpu.evaluation.intrain import IntrainEvaluator
+
+    sentinel = {"marker": np.zeros(3, np.float32)}
+    calls = []
+
+    def fake_import(path):
+        calls.append(path)
+        return sentinel
+
+    monkeypatch.setattr(ck, "import_hifigan", fake_import)
+    cfg = default_config(env=dict(TINY, use_gan="0")).replace(
+        text_buckets=(16,), mel_buckets=(64,), eval_n_samples=1,
+        vocoder_ckpt="/ckpts/hifigan16k.pt",
+    )
+    ev = IntrainEvaluator(cfg, val_ds=[], out_dir=str(tmp_path),
+                          syncnet_apply=lambda mel: np.zeros((1, 4, 8)))
+    assert calls == ["/ckpts/hifigan16k.pt"]
+    assert ev.vocoder_imported
+    assert ev.synth.vocoder_params is sentinel
+
+    # unset -> warns and falls back, still constructible
+    cfg2 = cfg.replace(vocoder_ckpt="")
+    ev2 = IntrainEvaluator(cfg2, val_ds=[], out_dir=str(tmp_path),
+                           syncnet_apply=lambda mel: np.zeros((1, 4, 8)))
+    assert not ev2.vocoder_imported

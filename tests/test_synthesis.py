@@ -42,6 +42,49 @@ def test_duration_cache_keys_on_face_identity():
     assert len(synth._ty_cache) == 2
 
 
+def test_duration_cache_content_keyed_numpy_faces():
+    """Numpy faces (no prepare_face) must HIT the content-keyed cache on
+    repeat calls instead of growing one pinned entry per call; the cache
+    is LRU-bounded (round-1 ADVICE.md item 3 / VERDICT weak 6)."""
+    synth, cfg = tiny_synth()
+    ids = np.arange(1, 8, dtype=np.int32)
+    face_np = np.zeros((224, 224, 3), np.float32)
+    synth.synthesize(ids, face_np, seed=0)
+    assert len(synth._ty_cache) == 1
+    synth.synthesize(ids, face_np.copy(), seed=0)  # same content, new array
+    assert len(synth._ty_cache) == 1  # hit, no growth
+    # same content via prepare_face also maps to the same entry
+    synth.synthesize(ids, synth.prepare_face(face_np), seed=0)
+    assert len(synth._ty_cache) == 1
+    # bound enforced
+    synth._ty_cache_max = 2
+    for v in (1.0, 2.0, 3.0):
+        synth.synthesize(ids, np.full((224, 224, 3), v, np.float32), seed=0)
+    assert len(synth._ty_cache) <= 2
+
+
+def test_speech_conditioned_synthesis():
+    """spk_emb='speech': a mel clip conditions the voice instead of a face
+    (reference face_tts.py:108-114,152-155); end-to-end through the
+    Synthesizer (round-1 VERDICT weak 8)."""
+    from facegantts_tpu.synthesis import Synthesizer
+
+    cfg = default_config(env=dict(TINY, use_gan="0", use_bf16="0", spk_emb="speech")).replace(
+        text_buckets=(16,), mel_buckets=(64,),
+    )
+    synth = Synthesizer(cfg)
+    ids = np.arange(1, 9, dtype=np.int32)
+    rng = np.random.default_rng(0)
+    mel_a = rng.standard_normal((cfg.n_mels, 40)).astype(np.float32)
+    mel_b = rng.standard_normal((cfg.n_mels, 40)).astype(np.float32) + 2.0
+    wav_a, m_a = synth.synthesize(ids, synth.prepare_face(mel_a), seed=1)
+    wav_b, m_b = synth.synthesize(ids, synth.prepare_face(mel_b), seed=1)
+    assert wav_a.ndim == 1 and len(wav_a) > 0
+    # the conditioning clip actually changes the output
+    t = min(m_a.shape[1], m_b.shape[1])
+    assert np.abs(m_a[:, :t] - m_b[:, :t]).max() > 1e-4
+
+
 def test_synthesize_batch_order_and_lengths():
     synth, cfg = tiny_synth()
     face = np.zeros((224, 224, 3), np.float32)
