@@ -131,28 +131,75 @@ class LinearHeadMOSPredictor:
 
 
 def load_torch_mos_head(ckpt_path: str) -> LinearHeadMOSPredictor:
-    """Import a torch state_dict containing a final linear regression head
-    (first ``*.weight``/``*.bias`` pair found, UTMOS-head naming or plain
-    ``weight``/``bias``)."""
+    """Import a torch state_dict containing a final linear regression head.
+
+    Matching is explicit, not first-hit: a documented ``head.weight`` /
+    ``head.bias`` pair wins; otherwise the LAST ``*.weight``/``*.bias``
+    pair whose weight has the head's expected (1, n_features) or
+    (n_features,) shape is used (in a real MOS checkpoint the regression
+    head is the final layer; an early SSL layer would be silently wrong).
+    ``weights_only=True`` — a checkpoint path is operator input and must
+    not execute pickled code."""
     import torch
 
-    sd = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    sd = torch.load(ckpt_path, map_location="cpu", weights_only=True)
     if isinstance(sd, dict) and "state_dict" in sd:
         sd = sd["state_dict"]
+
+    def to_np(t):
+        return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
+
+    n_feat = len(LinearHeadMOSPredictor.FEATURE_ORDER)
+    candidates = []
     for k in sd:
-        if k.endswith("weight") and k[:-6] + "bias" in sd:
-            w = np.asarray(sd[k].detach().cpu().numpy() if hasattr(sd[k], "detach") else sd[k])
-            b = np.asarray(sd[k[:-6] + "bias"])
-            b = b.item() if b.size == 1 else float(b.reshape(-1)[0])
-            return LinearHeadMOSPredictor(w, b)
-    raise ValueError(f"no linear head found in {ckpt_path}")
+        if not k.endswith("weight") or k[:-6] + "bias" not in sd:
+            continue
+        w = to_np(sd[k])
+        if w.size != n_feat:  # only the documented 5-feature head fits
+            continue
+        candidates.append(k)
+    if not candidates:
+        raise ValueError(
+            f"no ({n_feat},)-shaped linear head found in {ckpt_path}; "
+            "export the regression head as 'head.weight'/'head.bias'"
+        )
+    named = [k for k in candidates if k in ("head.weight", "weight")]
+    key = named[0] if named else candidates[-1]
+    w = to_np(sd[key])
+    b = to_np(sd[key[:-6] + "bias"])
+    b = b.item() if b.size == 1 else float(b.reshape(-1)[0])
+    return LinearHeadMOSPredictor(w, b)
 
 
 def make_mos_predictor(ckpt_path: Optional[str] = None):
-    """Factory: torch-head predictor if a checkpoint is given and loadable,
-    else the DSP calibration (mirrors the reference's graceful degradation
-    when torch.hub is unreachable)."""
+    """Factory, in order of fidelity:
+
+    1. a full UTMOS-strong/wav2vec2 SSL checkpoint -> the real architecture
+       (evaluation/ssl_mos.py), reproducing reference UTMOS scores;
+    2. a bare linear regression head -> LinearHeadMOSPredictor over the DSP
+       features;
+    3. nothing/unloadable -> the DSP calibration proxy (mirrors the
+       reference's graceful degradation when torch.hub is unreachable)."""
     if ckpt_path:
+        try:
+            import torch
+
+            from facegantts_tpu.evaluation import ssl_mos
+
+            sd = torch.load(ckpt_path, map_location="cpu", weights_only=True)
+            if isinstance(sd, dict) and "state_dict" in sd:
+                sd = sd["state_dict"]
+            if ssl_mos.looks_like_ssl_checkpoint(sd):
+                params, info = ssl_mos.import_utmos_strong(sd)
+                if info["unmapped"]:
+                    print(f"[WARN] UTMOS import: {len(info['unmapped'])} "
+                          "torch keys unmapped (first: "
+                          f"{info['unmapped'][:3]})")
+                return ssl_mos.SSLMOSPredictor(
+                    params, ssl_mos.model_from_params(params)
+                )
+        except Exception as e:
+            print(f"[WARN] SSL MOS import failed ({e}); trying linear head")
         try:
             return load_torch_mos_head(ckpt_path)
         except Exception as e:  # missing/foreign ckpt -> proxy
