@@ -35,8 +35,27 @@ def thumbnail(img: np.ndarray, max_side: int = 500) -> np.ndarray:
     return cv2.resize(img, (int(w * s), int(h * s)), interpolation=cv2.INTER_AREA)
 
 
+def _iou(a, b) -> float:
+    ix1, iy1 = max(a[0], b[0]), max(a[1], b[1])
+    ix2, iy2 = min(a[2], b[2]), min(a[3], b[3])
+    inter = max(0, ix2 - ix1) * max(0, iy2 - iy1)
+    if inter == 0:
+        return 0.0
+    area = lambda r: (r[2] - r[0]) * (r[3] - r[1])  # noqa: E731
+    return inter / float(area(a) + area(b) - inter)
+
+
 def detect_faces(img_bgr: np.ndarray) -> List[Tuple[int, int, int, int]]:
-    """Haar-cascade detections as (x1, y1, x2, y2), largest first.
+    """Face detections as (x1, y1, x2, y2), largest first.
+
+    Ensemble of cv2's bundled Haar cascades — frontal default, frontal
+    alt2, and profile in both orientations — over an equalized grayscale,
+    merged with IoU-0.4 non-max suppression.  The reference uses RetinaFace
+    / DSFD (downloaded torch models, labeling.py:35-98 / cfd_detect.py);
+    no detector weights ship in this image, so the ensemble is the
+    strongest zero-download fallback: alt2 recovers tilted/soft-lit faces
+    the default cascade misses, the mirrored profile pass recovers
+    side-on LRS2 frames.
 
     Headless-lite cv2 builds ship without the objdetect module; detection
     then returns [] and callers fall back to center crops."""
@@ -44,15 +63,31 @@ def detect_faces(img_bgr: np.ndarray) -> List[Tuple[int, int, int, int]]:
 
     if not hasattr(cv2, "CascadeClassifier") or not hasattr(cv2, "data"):
         return []
-    cascade = cv2.CascadeClassifier(
-        cv2.data.haarcascades + "haarcascade_frontalface_default.xml")
-    if cascade.empty():
-        return []
-    gray = cv2.cvtColor(img_bgr, cv2.COLOR_BGR2GRAY)
-    rects = cascade.detectMultiScale(gray, scaleFactor=1.1, minNeighbors=5,
-                                     minSize=(48, 48))
-    boxes = [(x, y, x + w, y + h) for x, y, w, h in rects]
-    return sorted(boxes, key=lambda b: (b[2] - b[0]) * (b[3] - b[1]), reverse=True)
+    gray = cv2.equalizeHist(cv2.cvtColor(img_bgr, cv2.COLOR_BGR2GRAY))
+    w_img = gray.shape[1]
+    boxes: List[Tuple[int, int, int, int]] = []
+    for name, flip in (
+        ("haarcascade_frontalface_default.xml", False),
+        ("haarcascade_frontalface_alt2.xml", False),
+        ("haarcascade_profileface.xml", False),
+        ("haarcascade_profileface.xml", True),  # cascade is left-profile only
+    ):
+        cascade = cv2.CascadeClassifier(cv2.data.haarcascades + name)
+        if cascade.empty():
+            continue
+        g = cv2.flip(gray, 1) if flip else gray
+        rects = cascade.detectMultiScale(g, scaleFactor=1.1, minNeighbors=5,
+                                         minSize=(48, 48))
+        for x, y, w, h in rects:
+            if flip:
+                x = w_img - x - w
+            boxes.append((x, y, x + w, y + h))
+    boxes.sort(key=lambda b: (b[2] - b[0]) * (b[3] - b[1]), reverse=True)
+    kept: List[Tuple[int, int, int, int]] = []
+    for b in boxes:  # NMS: keep the largest of each overlapping cluster
+        if all(_iou(b, k) < 0.4 for k in kept):
+            kept.append(b)
+    return kept
 
 
 def center_square_crop(img: np.ndarray) -> np.ndarray:

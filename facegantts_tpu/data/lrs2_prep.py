@@ -275,7 +275,7 @@ def sample_face_crops(video_path: str, image_size: int, sample_rate: int = 5,
                       blur_threshold: float = 40.0) -> Tuple[List[np.ndarray], List[float]]:
     """Sampled, blur-filtered, face-detected crops from one clip.
 
-    Returns (crops as (S,S,3) uint8 RGB, quality weights).  Haar-cascade
+    Returns (crops as (S,S,3) uint8 BGR 0..255, quality weights).  Haar-cascade
     detection; on cascade miss, the full frame is used (LRS2 clips are
     face-centered crops already)."""
     import cv2
@@ -300,7 +300,10 @@ def sample_face_crops(video_path: str, image_size: int, sample_rate: int = 5,
                 else:
                     crop = frame
                 crop = cv2.resize(crop, (image_size, image_size))
-                crops.append(crop[:, :, ::-1].copy())  # BGR -> RGB
+                # keep cv2's native BGR uint8: the pretrained SyncNet weights
+                # were trained on raw BGR 0..255 crops — the convention used
+                # everywhere else (synthesis.load_face, data/preprocess)
+                crops.append(crop.copy())
                 weights.append(quality)
         idx += 1
     cap.release()
@@ -333,8 +336,13 @@ class FaceEmbedder:
         self._jnp = jnp
 
     def __call__(self, crops: np.ndarray) -> np.ndarray:
-        """(N, S, S, 3) uint8 RGB -> (N, D) unit-norm embeddings."""
-        x = self._jnp.asarray(crops, self._jnp.float32) / 255.0
+        """(N, S, S, 3) uint8 BGR 0..255 -> (N, D) unit-norm embeddings.
+
+        No rescale/channel flip: the framework's SyncNet convention is raw
+        cv2 BGR 0..255 (synthesis.load_face, data/preprocess._load_face),
+        which is what the pretrained cfg.syncnet_ckpt weights expect —
+        feeding [0,1] RGB here would embed out-of-distribution inputs."""
+        x = self._jnp.asarray(crops, self._jnp.float32)
         e = np.asarray(self._apply(x))
         return e / (np.linalg.norm(e, axis=-1, keepdims=True) + 1e-8)
 

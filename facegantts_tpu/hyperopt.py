@@ -143,8 +143,15 @@ def sweep(config: Dict[str, Any], out_root: str = "runs/sweep", max_jobs: int = 
           mode: str = "grid", seed: int = 0) -> List[Dict[str, Any]]:
     fixed = config.get("fixed", {})
     if mode == "cem":
+        # NOTE: cem runs generations x population trials (population defaults
+        # to max_jobs); max_jobs is NOT an additional cap in this mode.
         os.makedirs(out_root, exist_ok=True)
         spec = config.get("cem", config.get("random"))
+        if not spec:
+            raise SystemExit(
+                "hyperopt: mode=cem requires a 'cem' (or 'random') "
+                "search-space block in the sweep config; found neither"
+            )
         return cem_search(
             spec, fixed, out_root, seed=seed,
             generations=int(config.get("generations", 4)),
