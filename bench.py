@@ -64,15 +64,26 @@ def bench_inference(n_iters: int = 10):
     return rtf
 
 
+# TPU v5e (v5 lite) peak: 197 TFLOP/s bf16 per chip — the standard MFU
+# denominator for this part.
+V5E_PEAK_FLOPS = 197e12
+# Reference GAN-training scale: 4xA100, global batch 256, 100k steps inside
+# a 3-day SLURM window (reference config.py:132, train.sh:7) -> upper bound
+# ~0.39 steps/s = ~99 samples/s over 4 A100s = ~25 samples/s per A100.
+# vs_baseline for train throughput is per-chip samples/s over that bound.
+REF_SAMPLES_PER_SEC_PER_GPU = 25.0
+
+
 def bench_gan_step(n_iters: int = 5):
+    """Full GAN train step at the reference's per-device scale: batch 32
+    (2 micro-batches of cfg.micro_batch_size=16), full-length ty=436, T=10,
+    R1 on.  Returns (samples_per_sec, step_seconds, mfu)."""
     import jax
+    import jax.numpy as jnp
 
     from facegantts_tpu.config import default_config
     from facegantts_tpu.train import init_state, make_gan_train_step
-    from tests.test_train import tiny_batch  # noqa: F401  (shape helper)
-
     from facegantts_tpu.train.state import Batch
-    import jax.numpy as jnp
 
     cfg = default_config(env={})
     b, tx, ty = cfg.micro_batch_size * 2, 128, 436
@@ -86,20 +97,38 @@ def bench_gan_step(n_iters: int = 5):
     )
     state = init_state(cfg, jax.random.PRNGKey(0), batch)
     step, _ = make_gan_train_step(cfg)
+
+    # AOT compile so the SAME executable provides both the timing and the
+    # FLOP count (XLA's own cost model over the optimized HLO)
     t0 = time.perf_counter()
-    state, m = step(state, batch, jax.random.PRNGKey(1))
-    jax.block_until_ready(m)
-    log(f"GAN step compile+first: {time.perf_counter() - t0:.1f}s")
+    lowered = step.lower(state, batch, jax.random.PRNGKey(1))
+    compiled = lowered.compile()
+    log(f"GAN step compile: {time.perf_counter() - t0:.1f}s")
+    flops = None
+    try:
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", 0.0)) or None
+    except Exception as e:
+        log(f"cost_analysis unavailable ({e}); MFU omitted")
+
+    state, m = compiled(state, batch, jax.random.PRNGKey(1))
+    float(m["g_loss"])  # device_get sync (block_until_ready is async here)
     times = []
     for i in range(n_iters):
         t0 = time.perf_counter()
-        state, m = step(state, batch, jax.random.PRNGKey(i))
-        jax.block_until_ready(m)
+        state, m = compiled(state, batch, jax.random.PRNGKey(i))
+        float(m["g_loss"])
         times.append(time.perf_counter() - t0)
-    sps = 1.0 / float(np.median(times))
-    log(f"GAN train step: {np.median(times)*1000:.0f} ms (batch {b}) -> {sps:.3f} steps/s, "
-        f"{sps*b:.1f} samples/s")
-    return sps
+    sec = float(np.median(times))
+    sps = b / sec
+    mfu = (flops / sec / V5E_PEAK_FLOPS) if flops else 0.0
+    log(f"GAN train step: {sec*1000:.0f} ms (batch {b}, tx={tx}, ty={ty}, "
+        f"T={cfg.timesteps}, R1 on) -> {1.0/sec:.3f} steps/s, {sps:.1f} samples/s")
+    if flops:
+        log(f"XLA-counted FLOPs/step: {flops/1e12:.2f} TFLOP -> "
+            f"MFU {100*mfu:.2f}% of v5e bf16 peak ({V5E_PEAK_FLOPS/1e12:.0f} TFLOP/s)")
+    return sps, sec, mfu
 
 
 def bench_batch_throughput(batch: int = 8, n_iters: int = 5):
@@ -131,8 +160,21 @@ def main():
     rtf = bench_inference()
     if os.environ.get("BENCH_BATCH", "0") == "1":
         bench_batch_throughput()
-    if os.environ.get("BENCH_TRAIN", "0") == "1":
-        bench_gan_step()
+    if os.environ.get("BENCH_TRAIN", "1") == "1":
+        sps, sec, mfu = bench_gan_step()
+        print(json.dumps({
+            "metric": "train_samples_per_sec",
+            "value": round(sps, 2),
+            "unit": "samples/s@batch32",
+            "vs_baseline": round(sps / REF_SAMPLES_PER_SEC_PER_GPU, 3),
+        }))
+        print(json.dumps({
+            "metric": "mfu",
+            "value": round(mfu, 4),
+            "unit": "fraction_of_v5e_bf16_peak",
+            "vs_baseline": round(mfu, 4),
+        }))
+    # headline metric LAST (the driver parses the final JSON line)
     print(json.dumps({
         "metric": "inference_rtf",
         "value": round(rtf, 5),

@@ -165,8 +165,10 @@ class Config:
     use_bf16: int = 1  # bfloat16 activations on the MXU path (inference)
     train_bf16: int = 0  # mixed-precision training: f32 master params,
     #                      bf16 model compute (grads accumulate in f32)
-    gan_sampler_bf16: int = 1  # no-grad GAN fake-mel sampler in bf16 (same
-    #                      precision as default inference; grads stay f32)
+    gan_sampler_bf16: int = 0  # no-grad GAN fake-mel sampler in bf16 (same
+    #                      precision as default inference; grads stay f32).
+    #                      Measured a wash on v5e (backend auto-bf16s convs)
+    #                      so f32 reference parity is the default.
 
     # -- checkpoints ----------------------------------------------------------
     resume_from: str = ""

@@ -21,12 +21,10 @@ local loss normalization + gradient mean is exactly DDP's semantics
 Key behavioral facts carried over (and exploited):
 - The reference's `FaceTTS.forward` is @torch.no_grad (face_tts.py:92), so
   its G-phase adversarial/fm terms carry NO generator gradient.  We
-  therefore sample ALL fake mels in one batched no-grad reverse-diffusion
-  pass over the local batch (better MXU utilization than per-micro-batch
-  sampling) and reuse them in both D and G phases — identical training
-  dynamics at a fraction of the reference's sampler cost.
-  cfg.adv_grad_through_sampler=1 instead differentiates through the
-  (rematerialized) reverse scan per micro-batch.
+  therefore sample each micro-batch's fake mel ONCE and reuse it for both D
+  and G phases — identical training dynamics at half the reference's
+  sampler cost.  cfg.adv_grad_through_sampler=1 instead differentiates
+  through the (rematerialized) reverse scan.
 - Micro-batch gradients are averaged by n_micro with non-finite-loss
   micro-batches contributing zero, matching the reference's NaN skip
   (face_tts_w_discriminator.py:203-207).
@@ -314,10 +312,11 @@ def make_gan_train_step(cfg: Config, mesh: Optional[Mesh] = None):
     def sample_fake(params, model_state, mb: Batch, rng):
         """No-grad fake-mel sampler (reference @no_grad forward,
         face_tts_w_discriminator.py:163-165).  With cfg.gan_sampler_bf16
-        (default on) the 10-step reverse diffusion runs in bfloat16 — the
-        same precision the DEFAULT inference path uses (cfg.use_bf16) — so
-        the bandwidth-bound U-Net moves half the HBM bytes; the result is
-        cast back to f32 before the f32 D/G loss math."""
+        the 10-step reverse diffusion runs in bfloat16 — the same precision
+        the DEFAULT inference path uses (cfg.use_bf16) — and the result is
+        cast back to f32 before the f32 D/G loss math.  Measured a wash on
+        v5e (the backend already auto-bf16s conv kernels), so the default
+        stays f32 for reference parity."""
         y_bucket = mb.y.shape[-1]
         if cfg.gan_sampler_bf16:
             s_down = lambda t: _cast_floats(t, jnp.bfloat16)  # noqa: E731
@@ -414,15 +413,7 @@ def make_gan_train_step(cfg: Config, mesh: Optional[Mesh] = None):
         """Per-device: scan local micro-batches, return pmean'd grad sums."""
         rng = _device_rng(rng)
         n_micro, micro = _micro_split(batch, cfg.micro_batch_size)
-        rng, rng_fake = jax.random.split(rng)
         rngs = jax.random.split(rng, n_micro)
-        # The fake-mel sampler carries no generator gradient (reference
-        # FaceTTS.forward is @torch.no_grad, face_tts.py:92), so sample the
-        # WHOLE local batch in one batched 10-step reverse diffusion — the
-        # U-Net fills the MXU far better at B_local than at micro-batch
-        # size, and the scan below only pays for grad math.
-        fakes_all = sample_fake(params, model_state, batch, rng_fake)
-        fakes = fakes_all.reshape(n_micro, -1, *fakes_all.shape[1:])
         # grad accumulators are data-varying (per-device partial sums): mark
         # them so the scan carry types match inside shard_map
         pvary = lambda t: jax.tree.map(  # noqa: E731
@@ -431,10 +422,17 @@ def make_gan_train_step(cfg: Config, mesh: Optional[Mesh] = None):
         zero_d = pvary(disc_params)
         zero_g = pvary(params)
 
+        # NOTE on sampler batching: sampling all fakes in ONE batched pass
+        # over B_local was measured SLOWER than per-micro-batch sampling
+        # inside the scan (1108 ms at b=32 vs 2x540 ms at b=16 on v5e — the
+        # U-Net is already saturated at micro-batch size, and the fused
+        # scan lets XLA overlap sampler work with grad work), so each
+        # micro-batch samples its own fake here.
         def micro_body(carry, inp):
             d_acc, g_acc = carry
-            mb, fake, mrng = inp
-            _, rng_g = jax.random.split(mrng)
+            mb, mrng = inp
+            rng_fake, rng_g = jax.random.split(mrng)
+            fake = sample_fake(params, model_state, mb, rng_fake)  # no G grad
             metrics = {}
             if train_disc:
                 (d_loss, d_m), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
@@ -459,7 +457,7 @@ def make_gan_train_step(cfg: Config, mesh: Optional[Mesh] = None):
             return (d_acc, g_acc), metrics
 
         (d_grads, g_grads), metrics = jax.lax.scan(
-            micro_body, (zero_d, zero_g), (micro, fakes, rngs)
+            micro_body, (zero_d, zero_g), (micro, rngs)
         )
         inv = 1.0 / n_micro
         d_grads = jax.lax.pmean(jax.tree.map(lambda g: g * inv, d_grads), "data")
