@@ -47,6 +47,9 @@ class Config:
     image_size: int = 224
     max_frames: int = 30
     image_augment: int = 0
+    retinaface_ckpt: str = ""  # optional mobilenet0.25 RetinaFace torch ckpt
+    #                            for data-prep face detection (labeling.py:6);
+    #                            empty = Haar-cascade ensemble fallback
 
     # hifigan-16k audio front end (reference config.py:30-36)
     n_fft: int = 1024

@@ -45,20 +45,54 @@ def _iou(a, b) -> float:
     return inter / float(area(a) + area(b) - inter)
 
 
+_RETINA = None  # configured models.retinaface.RetinaFaceDetector
+_RETINA_CHECKED = False
+
+
+def configure_retinaface(ckpt: str, **kw) -> None:
+    """Route ALL detect_faces calls through the real RetinaFace detector
+    (models/retinaface.py) loaded from a mobilenet0.25 torch checkpoint —
+    the detector the reference's labeling uses (labeling.py:6,48).  Called
+    automatically when ``cfg.retinaface_ckpt`` / ``$RETINAFACE_CKPT`` is
+    set; pass ``ckpt=''`` to clear back to the Haar-cascade ensemble."""
+    global _RETINA, _RETINA_CHECKED
+    _RETINA_CHECKED = True
+    if not ckpt:
+        _RETINA = None
+        return
+    from facegantts_tpu.models.retinaface import RetinaFaceDetector
+
+    _RETINA = RetinaFaceDetector(ckpt, **kw)
+
+
+def _retina_detector():
+    global _RETINA_CHECKED
+    if not _RETINA_CHECKED:
+        configure_retinaface(os.environ.get("RETINAFACE_CKPT", ""))
+    return _RETINA
+
+
 def detect_faces(img_bgr: np.ndarray) -> List[Tuple[int, int, int, int]]:
     """Face detections as (x1, y1, x2, y2), largest first.
 
-    Ensemble of cv2's bundled Haar cascades — frontal default, frontal
-    alt2, and profile in both orientations — over an equalized grayscale,
-    merged with IoU-0.4 non-max suppression.  The reference uses RetinaFace
-    / DSFD (downloaded torch models, labeling.py:35-98 / cfd_detect.py);
-    no detector weights ship in this image, so the ensemble is the
-    strongest zero-download fallback: alt2 recovers tilted/soft-lit faces
-    the default cascade misses, the mirrored profile pass recovers
-    side-on LRS2 frames.
+    With a configured RetinaFace checkpoint (``configure_retinaface`` /
+    ``$RETINAFACE_CKPT``), detection is the real thing — same model family
+    as the reference's labeling.py.  Otherwise: ensemble of cv2's bundled
+    Haar cascades — frontal default, frontal alt2, and profile in both
+    orientations — over an equalized grayscale, merged with IoU-0.4
+    non-max suppression.  The reference uses RetinaFace / DSFD (downloaded
+    torch models, labeling.py:35-98 / cfd_detect.py); no detector weights
+    ship in this image, so the ensemble is the strongest zero-download
+    fallback: alt2 recovers tilted/soft-lit faces the default cascade
+    misses, the mirrored profile pass recovers side-on LRS2 frames.
 
     Headless-lite cv2 builds ship without the objdetect module; detection
     then returns [] and callers fall back to center crops."""
+    det = _retina_detector()
+    if det is not None:
+        boxes = [b[:4] for b in det(img_bgr)]
+        boxes.sort(key=lambda b: (b[2] - b[0]) * (b[3] - b[1]), reverse=True)
+        return boxes
     import cv2
 
     if not hasattr(cv2, "CascadeClassifier") or not hasattr(cv2, "data"):

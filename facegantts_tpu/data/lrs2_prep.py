@@ -383,6 +383,12 @@ def label_speakers(cfg, video_root: str, out_path: str,
     for base, _, files in os.walk(video_root):
         clips += [os.path.join(base, f) for f in files if f.endswith(".mp4")]
     clips.sort()
+    if getattr(cfg, "retinaface_ckpt", ""):
+        # real RetinaFace detection (reference labeling.py:6,48) instead of
+        # the Haar fallback — routed through cfd_crop's shared detector hook
+        from facegantts_tpu.data.cfd_crop import configure_retinaface
+
+        configure_retinaface(cfg.retinaface_ckpt)
     embedder = FaceEmbedder(cfg)
 
     known: List[np.ndarray] = []
