@@ -54,19 +54,49 @@ def retrieval_accuracy(
     }
 
 
+def biquad_bandpass(wav: np.ndarray, sr: int, lo: float = 300.0,
+                    hi: float = 4000.0, q: float = 0.7071067811865476,
+                    ) -> np.ndarray:
+    """The reference's EXACT band-pass: RBJ-cookbook highpass(lo) then
+    lowpass(hi) biquads — the same coefficients and difference equation
+    torchaudio.functional.{highpass,lowpass}_biquad applies (reference
+    acc_measure.py:55-57,96-97), including torchaudio's default output
+    clamp to [-1, 1] after each filter.  Use on raw waveforms; for
+    packed mel-only data see :func:`mel_bandpass` (delta quantified in
+    tests/test_world.py)."""
+    import math
+
+    from scipy.signal import lfilter
+
+    out = np.asarray(wav, np.float64)
+    for kind, fc in (("hp", lo), ("lp", hi)):
+        w0 = 2.0 * math.pi * fc / sr
+        cw, sw = math.cos(w0), math.sin(w0)
+        alpha = sw / (2.0 * q)
+        if kind == "hp":
+            b = np.array([(1 + cw) / 2, -(1 + cw), (1 + cw) / 2])
+        else:
+            b = np.array([(1 - cw) / 2, 1 - cw, (1 - cw) / 2])
+        a = np.array([1 + alpha, -2 * cw, 1 - alpha])
+        out = lfilter(b / a[0], a / a[0], out)
+        out = np.clip(out, -1.0, 1.0)  # torchaudio lfilter clamp=True
+    return out.astype(np.float32)
+
+
 def mel_bandpass(mel: np.ndarray, sr: int, n_mels: int, f_min: float,
                  f_max: float, lo: float = 300.0, hi: float = 4000.0) -> np.ndarray:
     """Floor mel bins whose center frequency lies outside [lo, hi] Hz
-    (mel-domain equivalent of the reference's highpass+lowpass biquads)."""
-    def hz_to_mel(f):
-        return 2595.0 * np.log10(1.0 + f / 700.0)
-
-    def mel_to_hz(m):
-        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+    (mel-domain approximation of the reference's highpass+lowpass biquads,
+    for packed data that stores mels only; :func:`biquad_bandpass` is the
+    exact wav-domain protocol).  Centers use the same Slaney scale as the
+    mel filterbank (ops/mel.py) so the kept-bin set matches the actual
+    filterbank geometry."""
+    from facegantts_tpu.ops.mel import hz_to_mel_slaney, mel_to_hz_slaney
 
     f_max = f_max or sr / 2.0
-    mels = np.linspace(hz_to_mel(f_min), hz_to_mel(f_max), n_mels + 2)
-    centers = mel_to_hz(mels[1:-1])  # (n_mels,)
+    mels = np.linspace(hz_to_mel_slaney(f_min), hz_to_mel_slaney(f_max),
+                       n_mels + 2)
+    centers = mel_to_hz_slaney(mels[1:-1])  # (n_mels,)
     keep = (centers >= lo) & (centers <= hi)
     out = mel.copy()
     out[~keep, :] = mel.min()
