@@ -172,6 +172,12 @@ class Config:
     #                      precision as default inference; grads stay f32).
     #                      Measured a wash on v5e (backend auto-bf16s convs)
     #                      so f32 reference parity is the default.
+    fast_rng: int = 1  # re-key train-step RNG into the TPU hardware RBG
+    #                      generator (threefry mask/noise generation measured
+    #                      ~50 ms/step in device traces).  Draw VALUES differ
+    #                      from threefry for the same seed; distributions are
+    #                      identical.  Set 0 for cross-impl per-seed
+    #                      reproducibility.
 
     # -- checkpoints ----------------------------------------------------------
     resume_from: str = ""

@@ -14,10 +14,35 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from facegantts_tpu.ops.convt import conv_transpose
+from facegantts_tpu.ops.groupnorm import group_norm
 
 
 def mish(x):
     return x * jnp.tanh(nn.softplus(x))
+
+
+class FusedGroupNorm(nn.Module):
+    """GroupNorm with Pallas-accelerated statistics on TPU (ops/groupnorm).
+
+    Parameter tree ("scale", "bias" per channel) and math are identical to
+    flax nn.GroupNorm — torch-checkpoint importers and replica-parity tests
+    are unaffected.
+
+    NOT used by default: on the axon v5e the per-pallas-call overhead and
+    the pipeline break around the kernel cost more than the stats-bandwidth
+    win at every model shape (U-Net eval b=16 T=436: 41.7 ms with
+    nn.GroupNorm vs 61.0 ms with this; b=1: 3.6 vs 6.5 ms) — see
+    ops/groupnorm.py.  Kept as tested infrastructure for backends/shapes
+    where a standalone reduction kernel wins."""
+
+    channels: int
+    groups: int = 8
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.channels,))
+        bias = self.param("bias", nn.initializers.zeros, (self.channels,))
+        return group_norm(x, scale, bias, self.groups, 1e-6)
 
 
 def timestep_embedding(t: jnp.ndarray, dim: int, scale: float = 1000.0) -> jnp.ndarray:
@@ -84,15 +109,31 @@ class LinearAttention(nn.Module):
         # two ~1.4 GB layout copies per eval at training shapes — this form
         # removes them (57.6 -> 45.6 ms per U-Net eval at (16,128,436)).
         qkv = nn.Dense(hidden * 3, use_bias=False, name="to_qkv")(x)
-        q = qkv[..., :hidden].reshape(b, f, t, h, d)
-        k = qkv[..., hidden:2 * hidden].reshape(b, f, t, h, d)
-        v = qkv[..., 2 * hidden:].reshape(b, f, t, h, d)
-        # softmax over spatial positions, per (b, h, d)
+        q = qkv[..., :hidden]
+        k = qkv[..., hidden:2 * hidden]
+        v = qkv[..., 2 * hidden:]
+        # softmax over spatial positions, per packed channel (= per (h, d))
         m = jnp.max(k, axis=(1, 2), keepdims=True)
         ek = jnp.exp(k - m)
         kn = ek / jnp.sum(ek, axis=(1, 2), keepdims=True)
-        context = jnp.einsum("bfthd,bfthe->bhde", kn, v, preferred_element_type=jnp.float32)
-        out = jnp.einsum("bhde,bfthd->bfthe", context, q, preferred_element_type=jnp.float32)
+        # Per-head contractions expressed as channel-packed matmuls with a
+        # block-diagonal head mask: "bnc,bne->bce" / "bnc,bce->bne" keep the
+        # channel axis minor on both operands, so XLA emits plain A^T B / A B
+        # MXU matmuls with no layout transposes.  The per-head einsum form
+        # ("bfthd,bfthe->bhde") forced two f-minor relayouts of the
+        # (B,F,T,hidden) tensors — ~110 ms/step of pure copies in the GAN
+        # step at training shapes.  The cross-head blocks computed here are
+        # masked to zero; the extra h* FLOPs are ~29 GFLOP, noise vs the
+        # to_qkv projection itself.
+        n = f * t
+        kn2 = kn.reshape(b, n, hidden)
+        v2 = v.reshape(b, n, hidden)
+        q2 = q.reshape(b, n, hidden)
+        ctx = jnp.einsum("bnc,bne->bce", kn2, v2, preferred_element_type=jnp.float32)
+        head_id = jnp.arange(hidden) // d
+        block_mask = (head_id[:, None] == head_id[None, :]).astype(ctx.dtype)
+        ctx = ctx * block_mask
+        out = jnp.einsum("bnc,bce->bne", q2, ctx, preferred_element_type=jnp.float32)
         out = out.reshape(b, f, t, hidden).astype(x.dtype)
         return nn.Dense(c, name="to_out")(out)
 

@@ -196,8 +196,21 @@ def _micro_split(batch: Batch, mb_size: int):
     return n, jax.tree.map(lambda a: a.reshape(n, b // n, *a.shape[1:]), batch)
 
 
-def _device_rng(rng):
-    return jax.random.fold_in(rng, jax.lax.axis_index("data"))
+def _device_rng(rng, fast: bool = False):
+    """Per-device key: fold in the mesh position; optionally re-key into the
+    hardware RBG generator.  Threefry mask/noise generation showed up as ~50
+    ms/step of broadcast_compare fusions in the GAN-step device trace; the
+    TPU-native RBG implementation generates bits at full VPU rate.  All keys
+    derived from the returned key (splits, dropout streams, sampler noise)
+    inherit the impl.  Flag-gated (cfg.fast_rng) since RBG draws differ from
+    threefry draws for the same seed — training distributions are identical,
+    per-seed reproducibility across impls is not."""
+    rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+    if fast:
+        rng = jax.random.wrap_key_data(
+            jax.random.bits(rng, (4,), jnp.uint32), impl="rbg"
+        )
+    return rng
 
 
 def _cast_floats(tree, dtype):
@@ -254,7 +267,7 @@ def make_plain_train_step(cfg: Config, mesh: Optional[Mesh] = None):
         return parts.total, metrics
 
     def local_grads(params, model_state, batch, rng):
-        rng = _device_rng(rng)
+        rng = _device_rng(rng, bool(cfg.fast_rng))
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, model_state, batch, rng, True
         )
@@ -264,7 +277,7 @@ def make_plain_train_step(cfg: Config, mesh: Optional[Mesh] = None):
         )
 
     def local_metrics(params, model_state, batch, rng):
-        rng = _device_rng(rng)
+        rng = _device_rng(rng, bool(cfg.fast_rng))
         _, metrics = loss_fn(params, model_state, batch, rng, False)
         return jax.lax.pmean(metrics, "data")
 
@@ -331,17 +344,28 @@ def make_gan_train_step(cfg: Config, mesh: Optional[Mesh] = None):
     def d_loss_fn(disc_params, y_real, fake, use_r1: bool):
         disc_params = down(disc_params)
         y_real, fake = down(y_real), down(fake)
-        _, real_logits = disc.apply({"params": disc_params}, y_real[..., None])
+        if use_r1:
+            # One real-input forward serves both the hinge logits and the R1
+            # input-gradient (the reference runs a second discriminator
+            # forward just for R1, face_tts_w_discriminator.py:191-201;
+            # value_and_grad with aux logits makes the fused form explicit
+            # instead of hoping XLA CSEs the twin forward out of the grad
+            # trace).
+            def logits_sum(y_in):
+                logits = disc.apply({"params": disc_params}, y_in)[1]
+                return logits.sum(), logits
+
+            (_, real_logits), g = jax.value_and_grad(logits_sum, has_aux=True)(
+                y_real[..., None]
+            )
+            r1 = up(jnp.mean(jnp.sum(g.astype(jnp.float32) ** 2, axis=(1, 2, 3))))
+        else:
+            _, real_logits = disc.apply({"params": disc_params}, y_real[..., None])
+            r1 = 0.0
         _, fake_logits = disc.apply({"params": disc_params}, fake[..., None])
         d_loss = up(_disc_loss(loss_type, real_logits, fake_logits))
         acc = up(_disc_accuracy(loss_type, real_logits, fake_logits))
-        r1 = 0.0
         if use_r1:
-            def logits_sum(y_in):
-                return disc.apply({"params": disc_params}, y_in)[1].sum()
-
-            g = jax.grad(logits_sum)(y_real[..., None])
-            r1 = up(jnp.mean(jnp.sum(g.astype(jnp.float32) ** 2, axis=(1, 2, 3))))
             d_loss = d_loss + cfg.r1_gamma * 0.5 * r1
         return d_loss, {"disc_acc": acc, "r1_penalty": r1}
 
@@ -411,7 +435,7 @@ def make_gan_train_step(cfg: Config, mesh: Optional[Mesh] = None):
         train_disc: bool, use_r1: bool,
     ):
         """Per-device: scan local micro-batches, return pmean'd grad sums."""
-        rng = _device_rng(rng)
+        rng = _device_rng(rng, bool(cfg.fast_rng))
         n_micro, micro = _micro_split(batch, cfg.micro_batch_size)
         rngs = jax.random.split(rng, n_micro)
         # grad accumulators are data-varying (per-device partial sums): mark
@@ -519,7 +543,7 @@ def make_gan_train_step(cfg: Config, mesh: Optional[Mesh] = None):
         return new_state, metrics
 
     def local_val(params, model_state, disc_params, batch, rng, train_disc: bool):
-        rng = _device_rng(rng)
+        rng = _device_rng(rng, bool(cfg.fast_rng))
         rng_f, rng_l = jax.random.split(rng)
         fake = sample_fake(params, model_state, batch, rng_f)
         metrics = {}

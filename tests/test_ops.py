@@ -176,3 +176,58 @@ def test_mas_native_matches_numpy(rng):
         pytest.skip(f"native build unavailable: {e}")
     ref = maximum_path_numpy(val, mask)
     np.testing.assert_array_equal(got, ref)
+
+
+# ---------------------------------------------------------------------------
+# fused GroupNorm (ops/groupnorm.py)
+
+
+def test_group_norm_matches_flax(rng):
+    """XLA path == flax nn.GroupNorm math (the U-Net Blocks' norm)."""
+    import jax
+    from flax import linen as nn
+
+    from facegantts_tpu.ops.groupnorm import group_norm
+
+    x = jnp.asarray(rng.standard_normal((2, 8, 12, 64)) * 3 + 1, jnp.float32)
+    scale = jnp.asarray(rng.standard_normal(64) * 0.5 + 1, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(64), jnp.float32)
+    got = group_norm(x, scale, bias, 8, 1e-6)
+    gn = nn.GroupNorm(num_groups=8, epsilon=1e-6)
+    want = gn.apply({"params": {"scale": scale, "bias": bias}}, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+    # gradient path (custom_vjp) matches flax's autodiff
+    g_got = jax.grad(lambda a: jnp.sum(jnp.sin(group_norm(a, scale, bias, 8, 1e-6))))(x)
+    g_want = jax.grad(
+        lambda a: jnp.sum(jnp.sin(gn.apply({"params": {"scale": scale, "bias": bias}}, a)))
+    )(x)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want), atol=2e-5)
+
+
+@pytest.mark.parametrize("shape", [(2, 8, 26, 64), (1, 4, 16, 128), (2, 4, 64, 32)])
+def test_group_norm_pallas_kernel_interpret(rng, shape):
+    """Pallas stats kernel (interpret mode) == pure-XLA reference, including
+    the lane-replica fold for C < 128 and odd T with F*T*C % 128 == 0."""
+    from facegantts_tpu.ops.groupnorm import (
+        _fast_group_norm,
+        _shape_supported,
+        _xla_group_norm,
+    )
+
+    x = jnp.asarray(rng.standard_normal(shape) * 2 - 0.5, jnp.float32)
+    assert _shape_supported(x)
+    c = shape[-1]
+    scale = jnp.asarray(rng.standard_normal(c) + 1, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(c), jnp.float32)
+    got = _fast_group_norm(x, scale, bias, 8, 1e-6, interpret=True)
+    want = _xla_group_norm(x, scale, bias, 8, 1e-6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_group_norm_unsupported_shapes_fall_back():
+    from facegantts_tpu.ops.groupnorm import _shape_supported, group_norm
+
+    x = jnp.ones((2, 3, 5, 96))  # 128 % 96 != 0
+    assert not _shape_supported(x)
+    y = group_norm(x, jnp.ones(96), jnp.zeros(96), 8, 1e-6)
+    assert y.shape == x.shape
