@@ -11,7 +11,10 @@ tile naturally; the relative-position terms use the pad/reshape skew trick
 (as in reference model/text_encoder.py:236-252) over a zero-padded (2t-1, d)
 table — device traces showed the earlier take_along_axis formulation lowered
 to serialized gather fusions costing 155 ms/step in the GAN train step,
-while the skew form is pure pads/reshapes plus MXU matmuls.
+while the skew form is pure pads/reshapes plus MXU matmuls.  At batch 1 the
+measured ranking flips (the gathers don't serialize and the skew pads cost
++8 ms/utterance), so the attention picks its form from the static batch size
+at trace time; both forms share the same (2w+1, d) parameter tables.
 """
 
 import math
@@ -118,27 +121,49 @@ class WindowedSelfAttention(nn.Module):
         emb_rel_k = self.param("emb_rel_k", rel_init, (2 * w + 1, d))
         emb_rel_v = self.param("emb_rel_v", rel_init, (2 * w + 1, d))
 
-        # Zero-pad the +-w table to the full (2t-1,) relative range centered
-        # at t-1; positions outside the window contribute exactly zero, same
-        # as the reference's zero-padded _get_relative_embeddings
-        # (model/text_encoder.py:216-234).
-        def pad_table(emb):
-            pad_len = max(t - 1 - w, 0)
-            start = max(w - (t - 1), 0)
-            padded = jnp.pad(emb, ((pad_len, pad_len), (0, 0)))
-            return lax.slice_in_dim(padded, start, start + 2 * t - 1, axis=0)
+        # Static (trace-time) choice of the relative-position formulation:
+        # the skew trick's pad/reshape pipeline is all-MXU and wins at
+        # training batches (the gather lowering serializes, 155 ms/step at
+        # b=16), while at b=1 the gathers are cheap and the skew pads cost
+        # +8 ms/utterance.  Both read the same parameter tables.
+        use_gather = b == 1
 
-        # relative logits (b,h,t,2t-1) -> absolute (b,h,t,t) via the skew
-        # trick (pads/reshapes only; reference model/text_encoder.py:236-252)
-        rel_q = jnp.einsum(
-            "bthd,rd->bhtr", q, pad_table(emb_rel_k),
-            preferred_element_type=jnp.float32,
-        )
-        x_ = jnp.pad(rel_q, ((0, 0), (0, 0), (0, 0), (0, 1)))
-        x_ = x_.reshape(b, h, t * 2 * t)
-        x_ = jnp.pad(x_, ((0, 0), (0, 0), (0, t - 1)))
-        rel_scores = x_.reshape(b, h, t + 1, 2 * t - 1)[:, :, :t, t - 1:]
-        scores = scores + rel_scores * scale
+        if use_gather:
+            # relative logits: r index = (s - t) + w, valid iff |s - t| <= w
+            pos = jnp.arange(t)
+            delta = pos[None, :] - pos[:, None]  # (t_q, t_k) = s - t
+            r_idx = jnp.clip(delta + w, 0, 2 * w)
+            in_window = jnp.abs(delta) <= w
+            rel_q = jnp.einsum(
+                "bthd,rd->bhtr", q, emb_rel_k,
+                preferred_element_type=jnp.float32,
+            )
+            rel_scores = jnp.take_along_axis(
+                rel_q, jnp.broadcast_to(r_idx[None, None], (b, h, t, t)), axis=-1
+            )
+            scores = scores + jnp.where(in_window[None, None], rel_scores * scale, 0.0)
+        else:
+            # Zero-pad the +-w table to the full (2t-1,) relative range
+            # centered at t-1; positions outside the window contribute
+            # exactly zero, same as the reference's zero-padded
+            # _get_relative_embeddings (model/text_encoder.py:216-234).
+            def pad_table(emb):
+                pad_len = max(t - 1 - w, 0)
+                start = max(w - (t - 1), 0)
+                padded = jnp.pad(emb, ((pad_len, pad_len), (0, 0)))
+                return lax.slice_in_dim(padded, start, start + 2 * t - 1, axis=0)
+
+            # relative logits (b,h,t,2t-1) -> absolute (b,h,t,t) via the skew
+            # trick (pads/reshapes only; reference model/text_encoder.py:236-252)
+            rel_q = jnp.einsum(
+                "bthd,rd->bhtr", q, pad_table(emb_rel_k),
+                preferred_element_type=jnp.float32,
+            )
+            x_ = jnp.pad(rel_q, ((0, 0), (0, 0), (0, 0), (0, 1)))
+            x_ = x_.reshape(b, h, t * 2 * t)
+            x_ = jnp.pad(x_, ((0, 0), (0, 0), (0, t - 1)))
+            rel_scores = x_.reshape(b, h, t + 1, 2 * t - 1)[:, :, :t, t - 1:]
+            scores = scores + rel_scores * scale
 
         scores = jnp.where(attn_mask[:, None] > 0, scores, -1e4)
         p_attn = nn.softmax(scores, axis=-1)
@@ -146,17 +171,33 @@ class WindowedSelfAttention(nn.Module):
 
         out = jnp.einsum("bhts,bshd->bthd", p_attn, v, preferred_element_type=jnp.float32)
 
-        # relative-value contribution: absolute (b,h,t,t) -> relative
-        # (b,h,t,2t-1), inverse skew (reference model/text_encoder.py:254-266),
-        # then contract with the zero-padded value table.
-        y_ = jnp.pad(p_attn, ((0, 0), (0, 0), (0, 0), (0, t - 1)))
-        y_ = y_.reshape(b, h, t * (2 * t - 1))
-        y_ = jnp.pad(y_, ((0, 0), (0, 0), (t, 0)))
-        rel_w = y_.reshape(b, h, t, 2 * t)[:, :, :, 1:]
-        out = out + jnp.einsum(
-            "bhtr,rd->bthd", rel_w, pad_table(emb_rel_v),
-            preferred_element_type=jnp.float32,
-        )
+        if use_gather:
+            # relative-value contribution: rel_w[b,h,t,r] = p_attn[b,h,t,t+r-w]
+            pos = jnp.arange(t)
+            s_idx = jnp.clip(pos[:, None] + jnp.arange(2 * w + 1)[None, :] - w, 0, t - 1)
+            r_valid = (pos[:, None] + jnp.arange(2 * w + 1)[None, :] - w >= 0) & (
+                pos[:, None] + jnp.arange(2 * w + 1)[None, :] - w <= t - 1
+            )
+            rel_w = jnp.take_along_axis(
+                p_attn, jnp.broadcast_to(s_idx[None, None], (b, h, t, 2 * w + 1)), axis=-1
+            )
+            rel_w = jnp.where(r_valid[None, None], rel_w, 0.0)
+            out = out + jnp.einsum(
+                "bhtr,rd->bthd", rel_w, emb_rel_v,
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            # relative-value contribution: absolute (b,h,t,t) -> relative
+            # (b,h,t,2t-1), inverse skew (reference model/text_encoder.py:
+            # 254-266), then contract with the zero-padded value table.
+            y_ = jnp.pad(p_attn, ((0, 0), (0, 0), (0, 0), (0, t - 1)))
+            y_ = y_.reshape(b, h, t * (2 * t - 1))
+            y_ = jnp.pad(y_, ((0, 0), (0, 0), (t, 0)))
+            rel_w = y_.reshape(b, h, t, 2 * t)[:, :, :, 1:]
+            out = out + jnp.einsum(
+                "bhtr,rd->bthd", rel_w, pad_table(emb_rel_v),
+                preferred_element_type=jnp.float32,
+            )
 
         out = out.reshape(b, t, self.channels)
         return nn.Dense(self.channels, name="conv_o")(out)

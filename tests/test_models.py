@@ -44,6 +44,26 @@ def test_text_encoder_shapes_and_masking(keys):
     np.testing.assert_allclose(np.asarray(mu[0, :4]), np.asarray(mu2[0, :4]), atol=1e-5)
 
 
+def test_rel_pos_forms_agree(keys):
+    """The gather form (picked at b=1) and the skew form (b>1) of the
+    windowed relative-position attention compute the same function from the
+    same parameter tables."""
+    from facegantts_tpu.models.text_encoder import WindowedSelfAttention
+
+    attn = WindowedSelfAttention(channels=24, n_heads=2, window_size=4)
+    for t in (3, 6, 17):  # t-1 < w, = and > window
+        x1 = jax.random.normal(keys[2], (1, t, 24))
+        mask = jnp.ones((1, t, t))
+        params = attn.init(keys[3], x1, mask)
+        out_gather = attn.apply(params, x1, mask)  # b=1 -> gather form
+        xb = jnp.concatenate([x1, jax.random.normal(keys[4], (2, t, 24))])
+        out_skew = attn.apply(params, xb, jnp.ones((3, t, t)))  # b=3 -> skew
+        np.testing.assert_allclose(
+            np.asarray(out_gather[0]), np.asarray(out_skew[0]),
+            atol=2e-5, rtol=1e-4,
+        )
+
+
 def test_unet_shapes(keys):
     net = GradLogPEstimator2d(dim=16, n_feats=32, spk_emb_dim=8)
     b, f, t = 2, 32, 16
