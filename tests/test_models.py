@@ -174,3 +174,22 @@ def test_facetts_forward(tiny_facetts):
     assert attn.shape == (2, 10, 64)
     assert (np.asarray(ylen) >= 1).all()
     assert np.isfinite(np.asarray(dec)).all()
+
+
+def test_facetts_forward_speech_conditioning(tiny_facetts):
+    """spk_emb=speech: inference conditions on a reference mel clip through
+    the SyncNet audio stream (reference face_tts.py:108-114) instead of a
+    face image; same params work for both (the conditioning dim is shared)."""
+    model, params, (x, xl, y, yl, face) = tiny_facetts
+    speech_model = model.clone(spk_emb="speech")
+
+    dec = speech_model.apply(
+        params, x, xl, 3, 64, 1.5, False, y, 0.91, jax.random.PRNGKey(4)
+    )[1]
+    assert dec.shape == (2, 128, 64)
+    assert np.isfinite(np.asarray(dec)).all()
+    # the speech embedding must actually change the output vs face mode
+    dec_face = model.apply(
+        params, x, xl, 3, 64, 1.5, False, face, 0.91, jax.random.PRNGKey(4)
+    )[1]
+    assert float(np.abs(np.asarray(dec) - np.asarray(dec_face)).max()) > 1e-6
