@@ -117,8 +117,13 @@ def warm_start(cfg: Config, state: TrainState) -> TrainState:
     return state.replace(params=merged, model_state=mstate)
 
 
-def train(cfg: Config, work_dir: str = "runs/default", max_steps: Optional[int] = None):
-    """Run training until max_steps; returns the final TrainState."""
+def train(cfg: Config, work_dir: str = "runs/default", max_steps: Optional[int] = None,
+          train_ds=None, val_ds=None):
+    """Run training until max_steps; returns the final TrainState.
+
+    ``train_ds``/``val_ds`` default to the packed corpus under
+    ``cfg.packed_data_dir`` (falling back to synthetic data); tests and
+    benchmarks may inject any dataset with the PackedDataset interface."""
     max_steps = max_steps or cfg.max_steps
     # multi-host: only process 0 logs/evals (reference gates on
     # trainer.global_rank, custom_callbacks.py:112,141,177,213)
@@ -131,8 +136,10 @@ def train(cfg: Config, work_dir: str = "runs/default", max_steps: Optional[int] 
         snapshot_epochs=cfg.snapshot_epochs,
     )
 
-    train_ds = load_packed(cfg, "train") or SyntheticDataset(n_items=256, n_mels=cfg.n_mels)
-    val_ds = load_packed(cfg, "val") or SyntheticDataset(n_items=32, n_mels=cfg.n_mels, seed=1)
+    if train_ds is None:
+        train_ds = load_packed(cfg, "train") or SyntheticDataset(n_items=256, n_mels=cfg.n_mels)
+    if val_ds is None:
+        val_ds = load_packed(cfg, "val") or SyntheticDataset(n_items=32, n_mels=cfg.n_mels, seed=1)
     per_device_batch = cfg.per_gpu_batchsize
     n_dev = len(jax.devices())
     global_batch = per_device_batch * n_dev

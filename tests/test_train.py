@@ -1,6 +1,8 @@
 """Training-step tests: plain + GAN steps run, update params, stay finite;
 data-parallel sharding over a multi-device CPU mesh."""
 
+import json
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -257,6 +259,47 @@ def test_micro_split_rejects_indivisible_batch():
     assert n == 1 and micro.x.shape[:2] == (1, 2)
     with pytest.raises(ValueError, match="micro_batch_size"):
         _micro_split(tiny_batch(b=6), 4)
+
+
+def test_train_loop_end_to_end(tmp_path):
+    """Full training loop smoke over the virtual CPU mesh: synthetic data ->
+    bucketed loader -> jitted steps -> JSONL logging -> epoch-end validation
+    -> metric-ranked checkpointing with epoch-0 snapshot and best pointer
+    (reference train.py:132-155 + callbacks/custom_callbacks.py)."""
+    import os
+
+    from facegantts_tpu.data.dataset import SyntheticDataset
+    from facegantts_tpu.train.loop import train
+
+    work = str(tmp_path / "run")
+    cfg = default_config(env=dict(
+        TINY, use_gan="0",
+        batch_size="16", num_gpus="8",  # per-device 2 -> global 2 * n_devices
+        text_buckets="64", mel_buckets="64",  # ONE bucket -> one compile
+        eval_interval="0", save_step="1000",
+        log_every_n_steps="2", keep_top_k="1",
+    ))
+    n_dev = len(jax.devices())
+    global_batch = 2 * n_dev
+    train_ds = SyntheticDataset(n_items=2 * global_batch, n_mels=cfg.n_mels)
+    val_ds = SyntheticDataset(n_items=global_batch, n_mels=cfg.n_mels, seed=1)
+    max_steps = 3  # 2 steps/epoch -> past one epoch boundary -> val fires
+    state = train(cfg, work_dir=work, max_steps=max_steps,
+                  train_ds=train_ds, val_ds=val_ds)
+
+    assert int(state.step) == max_steps
+    # JSONL metrics: train lines, plus the epoch-end val line (and the
+    # final partial-epoch val at exit)
+    lines = [json.loads(l) for l in open(os.path.join(work, "metrics.jsonl"))]
+    assert any("train/total_loss" in l for l in lines)
+    val_lines = [l for l in lines if "val/total_loss" in l]
+    assert val_lines and all(np.isfinite(v["val/total_loss"]) for v in val_lines)
+    # checkpoint policy artifacts: ranked top-k, epoch-0 snapshot, last save,
+    # and the reference-style best pointer
+    assert os.listdir(os.path.join(work, "checkpoints"))
+    assert os.listdir(os.path.join(work, "snapshots", "epoch_0"))
+    assert os.listdir(os.path.join(work, "last"))
+    assert any(n.startswith("best_epoch_") for n in os.listdir(work))
 
 
 def test_gan_pitch_energy_losses():
