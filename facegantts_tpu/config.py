@@ -80,6 +80,11 @@ class Config:
 
     # -- syncnet ------------------------------------------------------------
     syncnet_stride: int = 1
+    # SyncNet channel width multiplier: 1.0 = the exact reference trunk
+    # (required for pretrained-weight import); tiny values are for smoke /
+    # dry-run configs only (the 224x224 trunk is otherwise the one component
+    # no other dim knob shrinks)
+    syncnet_width_mult: float = 1.0
     syncnet_ckpt: Optional[str] = None
     spk_emb: str = "face"  # or "speech"
     syncnet_initw: float = 10.0

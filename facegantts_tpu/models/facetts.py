@@ -72,6 +72,9 @@ class FaceTTS(nn.Module):
     perceptual_loss: int = 1
     out_size: int = 128
     syncnet_stride: int = 1
+    # 1.0 = exact reference SyncNet (required for pretrained import); smaller
+    # only for smoke/dry-run configs where the fixed 224x224 trunk dominates
+    syncnet_width_mult: float = 1.0
 
     @staticmethod
     def from_config(cfg: Config) -> "FaceTTS":
@@ -97,6 +100,7 @@ class FaceTTS(nn.Module):
             perceptual_loss=cfg.perceptual_loss,
             out_size=cfg.out_size,
             syncnet_stride=cfg.syncnet_stride,
+            syncnet_width_mult=cfg.syncnet_width_mult,
         )
 
     def setup(self):
@@ -127,7 +131,8 @@ class FaceTTS(nn.Module):
             name="decoder",
         )
         self.syncnet = SyncNet(
-            n_out=self.vid_emb_dim, stride=self.syncnet_stride, name="syncnet"
+            n_out=self.vid_emb_dim, stride=self.syncnet_stride,
+            width_mult=self.syncnet_width_mult, name="syncnet"
         )
 
     # ---------------------------------------------------------- embeddings

@@ -55,10 +55,11 @@ class _BNHead(nn.Module):
     """1x1 conv head: Dense -> BN -> ReLU -> Dense (reference netfc*)."""
 
     n_out: int
+    hidden: int = 512
 
     @nn.compact
     def __call__(self, h, train: bool = False, collect: Optional[List] = None):
-        h = nn.Dense(512, name="fc1")(h)
+        h = nn.Dense(self.hidden, name="fc1")(h)
         h = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn"
         )(h)
@@ -69,30 +70,40 @@ class _BNHead(nn.Module):
 
 
 class SyncNet(nn.Module):
-    """Face/voice embedder with perceptual-feature access."""
+    """Face/voice embedder with perceptual-feature access.
+
+    ``width_mult`` scales every trunk/head channel count (1.0 = the exact
+    reference architecture, required for pretrained-weight import).  Smaller
+    values exist for cheap smoke/dry-run configurations — SyncNet is the only
+    component whose cost is NOT already controlled by the encoder/decoder
+    dim knobs, and its fixed 224x224 trunk dominates tiny-config steps."""
 
     n_out: int = 512
     stride: int = 1  # audio head time stride (reference syncnet_stride)
+    width_mult: float = 1.0
 
     def setup(self):
+        def w(c):
+            return max(1, int(round(c * self.width_mult)))
+
         self.aud_convs = [
-            _ConvBNRelu(96, (5, 5), (1, 1), (2, 2), name="aud_c1"),
-            _ConvBNRelu(256, (5, 5), (2, 1), (1, 1), name="aud_c2"),
-            _ConvBNRelu(384, (5, 3), (1, 1), (2, 2), name="aud_c3"),
-            _ConvBNRelu(256, (3, 3), (1, 1), (1, 1), name="aud_c4"),
-            _ConvBNRelu(256, (3, 3), (1, 1), (1, 1), name="aud_c5"),
-            _ConvBNRelu(512, (3, 1), (1, self.stride), (0, 0), name="aud_c6"),
+            _ConvBNRelu(w(96), (5, 5), (1, 1), (2, 2), name="aud_c1"),
+            _ConvBNRelu(w(256), (5, 5), (2, 1), (1, 1), name="aud_c2"),
+            _ConvBNRelu(w(384), (5, 3), (1, 1), (2, 2), name="aud_c3"),
+            _ConvBNRelu(w(256), (3, 3), (1, 1), (1, 1), name="aud_c4"),
+            _ConvBNRelu(w(256), (3, 3), (1, 1), (1, 1), name="aud_c5"),
+            _ConvBNRelu(w(512), (3, 1), (1, self.stride), (0, 0), name="aud_c6"),
         ]
-        self.aud_head = _BNHead(self.n_out, name="aud_head")
+        self.aud_head = _BNHead(self.n_out, w(512), name="aud_head")
         self.img_convs = [
-            _ConvBNRelu(96, (7, 7), (2, 2), (0, 0), name="img_c1"),
-            _ConvBNRelu(256, (5, 5), (2, 2), (1, 1), name="img_c2"),
-            _ConvBNRelu(256, (3, 3), (1, 1), (1, 1), name="img_c3"),
-            _ConvBNRelu(256, (3, 3), (1, 1), (1, 1), name="img_c4"),
-            _ConvBNRelu(256, (3, 3), (1, 1), (1, 1), name="img_c5"),
-            _ConvBNRelu(512, (6, 6), (1, 1), (0, 0), name="img_c6"),
+            _ConvBNRelu(w(96), (7, 7), (2, 2), (0, 0), name="img_c1"),
+            _ConvBNRelu(w(256), (5, 5), (2, 2), (1, 1), name="img_c2"),
+            _ConvBNRelu(w(256), (3, 3), (1, 1), (1, 1), name="img_c3"),
+            _ConvBNRelu(w(256), (3, 3), (1, 1), (1, 1), name="img_c4"),
+            _ConvBNRelu(w(256), (3, 3), (1, 1), (1, 1), name="img_c5"),
+            _ConvBNRelu(w(512), (6, 6), (1, 1), (0, 0), name="img_c6"),
         ]
-        self.img_head = _BNHead(self.n_out, name="img_head")
+        self.img_head = _BNHead(self.n_out, w(512), name="img_head")
 
     # pool placements mirror reference netcnnaud (syncnet_hifigan.py:21-46)
     def _aud_trunk(self, x, train: bool, collect: Optional[List] = None):
@@ -134,7 +145,7 @@ class SyncNet(nn.Module):
         h = self.img_convs[4](h, train)
         h = _pool(h, (3, 3), (2, 2))
         h = self.img_convs[5](h, train)
-        h = h.reshape(h.shape[0], 1, 512)
+        h = h.reshape(h.shape[0], 1, h.shape[-1])
         return self.img_head(h, train)[:, 0]  # (B, n_out)
 
     def forward_perceptual(self, mel, train: bool = False):

@@ -25,6 +25,13 @@ if "collective_call_terminate" not in flags:
         " --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
         " --xla_cpu_collective_call_terminate_timeout_seconds=3600"
     )
+# At the native ISA, XLA:CPU bakes +prefer-no-gather/+prefer-no-scatter
+# tuning features into executables that the AOT loader's host-feature check
+# rejects, so persistent-cache loads silently recompile from scratch every
+# run.  Capping at AVX2 keeps the features out and makes the .jax_cache
+# actually reusable (tests are compile-dominated, not vector-width-bound).
+if "max_isa" not in flags:
+    flags += " --xla_cpu_max_isa=AVX2"
 os.environ["XLA_FLAGS"] = flags.strip()
 
 import jax  # noqa: E402

@@ -12,12 +12,15 @@ from facegantts_tpu.config import default_config
 from facegantts_tpu.train import Batch, init_state, make_gan_train_step, make_plain_train_step
 from facegantts_tpu.parallel import create_mesh, shard_batch, shard_state
 
-# n_mels stays 128: the SyncNet audio trunk's freq reductions require it
+# n_mels stays 128: the SyncNet audio trunk's freq reductions require it.
+# syncnet_width_mult shrinks the fixed 224x224 SyncNet trunk — at tiny
+# encoder/decoder dims it otherwise dominates test EXECUTION time on the
+# serialized virtual-device CPU mesh (measured ~70 s/sample-step).
 TINY = dict(
     n_enc_channels="16", filter_channels="32", filter_channels_dp="16",
     n_enc_layers="1", dec_dim="8", vid_emb_dim="32",
     micro_batch_size="2", timesteps="2", learning_rate="1e-4",
-    use_r1_penalty="1", warmup_steps="0",
+    use_r1_penalty="1", warmup_steps="0", syncnet_width_mult="0.125",
 )
 
 
