@@ -211,7 +211,9 @@ class Config:
     eval_interval: int = 1000
     eval_n_samples: int = 4  # utterances synthesized per in-training eval
     f0_protocol: str = "world"  # "world" = reference dio+stonemask+fastdtw
-    #                              protocol (eval.py:49-79); "yin" = faster
+    #                              protocol (eval.py:49-79); "yin" = faster;
+    #                              "pyin" = HMM-smoothed probabilistic YIN
+    #                              (the reference C10 extractor protocol)
     mos_ckpt: str = ""  # optional UTMOS-style linear-head checkpoint
     early_stopping_patience: int = 30
     early_stopping_min_delta: float = 0.001

@@ -5,6 +5,7 @@ from facegantts_tpu.evaluation.metrics import (  # noqa: F401
     mcd,
     speaker_similarity,
 )
+from facegantts_tpu.evaluation.pyin import pyin  # noqa: F401
 from facegantts_tpu.evaluation.world import (  # noqa: F401
     dio_f0,
     fastdtw_path,

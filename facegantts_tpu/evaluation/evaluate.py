@@ -95,6 +95,12 @@ def evaluate_pairs(
             from facegantts_tpu.evaluation.world import world_log_f0_rmse
 
             f0s.append(world_log_f0_rmse(ref, gen, cfg.sample_rate))
+        elif cfg.f0_protocol == "pyin":
+            # the reference's *extractor* protocol (C10, librosa.pyin via
+            # evaluation/pyin.py) with the repo's DTW alignment
+            f0s.append(
+                M.log_f0_rmse(ref, gen, cfg.sample_rate, estimator="pyin")
+            )
         else:  # "yin": faster estimator, same alignment structure
             f0s.append(M.log_f0_rmse(ref, gen, cfg.sample_rate))
         mcds.append(M.mcd(ref, gen, cfg.sample_rate))

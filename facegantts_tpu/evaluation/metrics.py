@@ -150,13 +150,29 @@ def speaker_similarity(syncnet_apply, ref_mel, syn_mel) -> Tuple[float, float]:
     return 1.0 - sim, sim
 
 
-def log_f0_rmse(ref_wav: np.ndarray, gen_wav: np.ndarray, sr: int) -> float:
-    """RMSE of log-F0 over DTW-aligned mutually voiced frames."""
+def log_f0_rmse(
+    ref_wav: np.ndarray, gen_wav: np.ndarray, sr: int, estimator: str = "yin"
+) -> float:
+    """RMSE of log-F0 over DTW-aligned mutually voiced frames.
+
+    ``estimator``: "yin" (fast, threshold YIN above) or "pyin" (HMM-smoothed
+    probabilistic YIN matching the reference's C10 extractor, evaluation/
+    pyin.py; note its librosa-default hop of 512 vs yin_f0's 160 — the DTW
+    index clamp below absorbs the coarser frame grid)."""
     ref_mc = mel_cepstra(ref_wav, sr)
     gen_mc = mel_cepstra(gen_wav, sr)
     ia, ib = dtw_path(gen_mc, ref_mc)
-    f0_ref = yin_f0(ref_wav, sr)
-    f0_gen = yin_f0(gen_wav, sr)
+    if estimator == "pyin":
+        from facegantts_tpu.evaluation.pyin import pyin
+
+        hop_ratio = 512 / 160.0  # pyin frames are coarser than the cepstra
+        f0_ref = pyin(ref_wav, sr)[0]
+        f0_gen = pyin(gen_wav, sr)[0]
+        ia = (ia / hop_ratio).astype(int)
+        ib = (ib / hop_ratio).astype(int)
+    else:
+        f0_ref = yin_f0(ref_wav, sr)
+        f0_gen = yin_f0(gen_wav, sr)
     fa = f0_gen[np.minimum(ia, len(f0_gen) - 1)]
     fb = f0_ref[np.minimum(ib, len(f0_ref) - 1)]
     voiced = (fa > 0) & (fb > 0)

@@ -161,7 +161,10 @@ def _soft_pitch(mel):
     sample[0] only — a constant w.r.t. parameters, so it only monitors
     (face_tts_w_discriminator.py:266-275).  This proxy tracks the same
     contour-matching objective but on-device, for the whole micro-batch,
-    and with a usable gradient."""
+    and with a usable gradient.  The protocol-faithful pYIN itself lives
+    in evaluation/pyin.py, surfaced through
+    facegantts_tpu.feature_extractor.VoiceFeatureExtractor (the reference
+    C10 API) for host-side monitoring/eval."""
     w = jax.nn.softmax(mel, axis=1)
     centers = jnp.arange(mel.shape[1], dtype=mel.dtype)
     return jnp.sum(w * centers[None, :, None], axis=1)
