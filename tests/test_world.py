@@ -207,3 +207,19 @@ def test_mel_bandpass_vs_exact_biquad_delta():
     sup_exact = float(np.median(m_exact[low] - m_raw[low]))
     sup_approx = float(np.median(m_approx[low] - m_raw[low]))
     assert sup_approx < sup_exact < -1.0  # approx suppresses strictly more
+
+
+def test_pyin_vs_world_protocol_delta():
+    """Same quantification for the pYIN estimator (evaluation/pyin.py, the
+    reference C10 extractor protocol): on the synthetic fixtures it agrees
+    with the WORLD-protocol F0-RMSE within 0.08 nats absolute."""
+    pairs = [
+        (_speechlike(170, 150, seed=1), _speechlike(175, 145, seed=2)),
+        (_tone(200, 0.4), _tone(230, 0.4)),
+    ]
+    deltas = []
+    for ref, gen in pairs:
+        w = world_log_f0_rmse(ref, gen, SR)
+        p = log_f0_rmse(ref, gen, SR, estimator="pyin")
+        deltas.append(abs(w - p))
+    assert max(deltas) < 0.08, deltas
