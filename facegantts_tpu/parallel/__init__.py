@@ -1,6 +1,8 @@
 from facegantts_tpu.parallel.mesh import (  # noqa: F401
+    batch_sharding,
     create_mesh,
     distributed_init,
+    replicated,
     shard_batch,
     shard_state,
 )

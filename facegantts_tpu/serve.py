@@ -29,7 +29,11 @@ Endpoints:
 
 Usage:
   python serve.py port=8080 resume_from=<ckpt> vocoder_ckpt=<hifigan.pt> \
-      test_faceimg=test/face.png [warmup_buckets=1]
+      test_faceimg=test/face.png [warmup_buckets=1] [serve_mesh=1]
+
+``serve_mesh=1`` builds a data mesh over all local devices and shards
+``/synthesize_batch`` dispatches across it (scale-out serving on a pod
+slice; see Synthesizer's ``mesh`` parameter).
 """
 
 from __future__ import annotations
@@ -68,12 +72,14 @@ class SynthesisService:
     """Synthesizer + default face + serving stats behind one lock."""
 
     def __init__(self, cfg: Config, params=None, vocoder_params=None,
-                 cmudict=None, default_face: Optional[np.ndarray] = None):
+                 cmudict=None, default_face: Optional[np.ndarray] = None,
+                 mesh=None):
         from facegantts_tpu.synthesis import Synthesizer
 
         self.cfg = cfg
         self.synth = Synthesizer(
-            cfg, params=params, vocoder_params=vocoder_params, cmudict=cmudict
+            cfg, params=params, vocoder_params=vocoder_params,
+            cmudict=cmudict, mesh=mesh,
         )
         if default_face is None:
             default_face = np.zeros((cfg.image_size, cfg.image_size, 3), np.float32)
@@ -240,6 +246,7 @@ def main(argv=None):
     host = overrides.pop("host", "0.0.0.0")
     port = int(overrides.pop("port", 8080))
     warmup = int(overrides.pop("warmup_buckets", 0))
+    use_mesh = int(overrides.pop("serve_mesh", 0))
     vocoder_ckpt = overrides.pop("vocoder_ckpt", "")
     cfg = default_config(overrides=overrides)
 
@@ -263,9 +270,15 @@ def main(argv=None):
         else None
     )
 
+    mesh = None
+    if use_mesh:
+        from facegantts_tpu.parallel import create_mesh
+
+        mesh = create_mesh()  # batch endpoints shard over all local chips
+        print(f"######## Data-parallel serving over {mesh.size} devices")
     service = SynthesisService(
         cfg, params=params, vocoder_params=vocoder_params, cmudict=cmu,
-        default_face=face,
+        default_face=face, mesh=mesh,
     )
     if warmup:
         n = service.warmup()

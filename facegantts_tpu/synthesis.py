@@ -53,8 +53,19 @@ class Synthesizer:
         vocoder_params=None,
         cmudict: Optional[CMUDict] = None,
         seed: int = 0,
+        mesh=None,
     ):
+        """``mesh``: optional 1-D ``data`` `jax.sharding.Mesh` (see
+        parallel/mesh.py).  When set, params are replicated across it and
+        ``synthesize_batch`` shards every bucket dispatch's batch dimension
+        over the axis — scale-out inference on a pod slice, the serving
+        counterpart of the training data-parallelism (batches are padded
+        up to a mesh-size multiple, so with padding the per-row noise
+        draws differ from the unmeshed run; without padding they are
+        identical).  Single-utterance ``synthesize`` stays replicated —
+        batch 1 cannot shard."""
         self.cfg = cfg
+        self.mesh = mesh
         self.model = FaceTTS.from_config(cfg)
         self.vocoder = HiFiGANGenerator(in_channels=cfg.n_mels)
         self.cmu = cmudict
@@ -76,6 +87,14 @@ class Synthesizer:
             vocoder_params = self.vocoder.init(rng, jnp.zeros((1, cfg.n_mels, 16)))[
                 "params"
             ]
+        if mesh is not None:
+            from facegantts_tpu.parallel import replicated
+
+            rep = replicated(mesh)
+            params = jax.tree.map(lambda a: jax.device_put(a, rep), params)
+            vocoder_params = jax.tree.map(
+                lambda a: jax.device_put(a, rep), vocoder_params
+            )
         self.params = params
         self.vocoder_params = vocoder_params
         # duration cache: (ids, face content digest) -> exact mel frames.
@@ -211,16 +230,43 @@ class Synthesizer:
         self._face_digests[id(arr)] = (weakref.ref(arr), self._face_digest(face))
         return arr
 
+    def _pad_rows(self, n: int) -> int:
+        """Batch rows after padding to a mesh-size multiple (no-op unmeshed)."""
+        if self.mesh is None:
+            return n
+        d = self.mesh.size
+        return -(-n // d) * d
+
+    def _place(self, *arrays):
+        """Shard batch-leading arrays over the mesh's data axis (no-op
+        unmeshed); GSPMD propagates the sharding through the jitted
+        programs and inserts the collectives."""
+        if self.mesh is None:
+            return arrays
+        from facegantts_tpu.parallel import batch_sharding
+
+        sh = batch_sharding(self.mesh)
+        return tuple(jax.device_put(a, sh) for a in arrays)
+
     def update_params(self, params=None, vocoder_params=None) -> None:
         """Swap in new weights without rebuilding the Synthesizer: the
         compiled per-bucket programs are shape-keyed, so same-shaped params
         reuse them with zero retracing (the in-training evaluator swaps the
         live generator weights in every eval interval).  The duration cache
         is invalidated — new weights predict new durations."""
+        if self.mesh is not None:
+            from facegantts_tpu.parallel import replicated
+
+            rep = replicated(self.mesh)
+            place = lambda t: jax.tree.map(  # noqa: E731
+                lambda a: jax.device_put(a, rep), t
+            )
+        else:
+            place = lambda t: t  # noqa: E731
         if params is not None:
-            self.params = params
+            self.params = place(params)
         if vocoder_params is not None:
-            self.vocoder_params = vocoder_params
+            self.vocoder_params = place(vocoder_params)
         self._ty_cache.clear()
 
     def synthesize(
@@ -324,14 +370,21 @@ class Synthesizer:
         wavs: List[Optional[np.ndarray]] = [None] * len(texts)
         for tx, idxs in by_tx.items():
             b = len(idxs)
-            x = np.zeros((b, tx), np.int32)
-            x_len = np.zeros((b,), np.int32)
+            bp = self._pad_rows(b)  # mesh: round up to a mesh-size multiple
+            x = np.zeros((bp, tx), np.int32)
+            x_len = np.zeros((bp,), np.int32)
             for r, i in enumerate(idxs):
                 x[r, : len(all_ids[i])] = all_ids[i]
                 x_len[r] = len(all_ids[i])
-            face_rep = jnp.broadcast_to(face_b, (b, *face_b.shape[1:]))
+            for r in range(b, bp):  # well-formed padding: clone row 0
+                x[r], x_len[r] = x[0], x_len[0]
+            face_rep = (
+                jnp.broadcast_to(face_b, (bp, *face_b.shape[1:]))  # on-device
+                if self.mesh is None
+                else np.broadcast_to(np.asarray(face_b), (bp, *face_b.shape[1:]))
+            )
             mu_x, w_ceil, x_mask, y_lengths, spk_e = self._encode_fn(tx)(
-                self.params, jnp.asarray(x), jnp.asarray(x_len), face_rep
+                self.params, *self._place(x, x_len, face_rep)
             )
             frames = np.ceil(np.asarray(y_lengths)).astype(np.int32)
             # one decode dispatch per mel bucket within this tx bucket
@@ -339,16 +392,22 @@ class Synthesizer:
             for r, i in enumerate(idxs):
                 by_ty.setdefault(pick_bucket(int(frames[r]), cfg.mel_buckets), []).append(r)
             for ty, rows in by_ty.items():
+                n_real = len(rows)
+                rows = rows + rows[:1] * (self._pad_rows(n_real) - n_real)
                 sel = jnp.asarray(np.asarray(rows, np.int32))
                 rng = jax.random.PRNGKey(seed)
                 wav, _, y_len = self._decode_vocode_fn(
                     tx, ty, n_timesteps, temperature, stoc
                 )(
-                    self.params, self.vocoder_params, mu_x[sel], w_ceil[sel],
-                    x_mask[sel], y_lengths[sel], spk_e[sel], rng,
+                    self.params, self.vocoder_params,
+                    *self._place(
+                        mu_x[sel], w_ceil[sel], x_mask[sel], y_lengths[sel],
+                        spk_e[sel],
+                    ),
+                    rng,
                 )
                 wav, y_len = jax.device_get((wav, y_len))
-                for k, r in enumerate(rows):
+                for k, r in enumerate(rows[:n_real]):
                     n = int(y_len[k]) * cfg.hop_len
                     wavs[idxs[r]] = np.clip(wav[k][:n], -1.0, 1.0)
         return wavs  # type: ignore[return-value]
