@@ -170,6 +170,13 @@ class Config:
     num_workers: int = 8
     prefetch_factor: int = 2
     mesh_shape: Tuple[int, ...] = ()  # () = 1-D data mesh over all devices
+    fsdp: int = 0  # ZeRO-style fully-sharded state: master params + Adam
+    #                      moments sharded over the data axis (largest
+    #                      divisible dim per leaf), all-gathered by GSPMD in
+    #                      front of each step.  Cuts per-chip optimizer HBM
+    #                      ~mesh-size fold; numerics identical to replicated
+    #                      DDP (same grads, same update).  Default off =
+    #                      reference DDP layout.
     use_bf16: int = 1  # bfloat16 activations on the MXU path (inference)
     train_bf16: int = 0  # mixed-precision training: f32 master params,
     #                      bf16 model compute (grads accumulate in f32)

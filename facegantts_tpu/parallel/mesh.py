@@ -12,6 +12,7 @@ touching the step functions)."""
 from typing import Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -40,13 +41,52 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def fsdp_spec(shape, n_shards: int) -> P:
+    """ZeRO-style per-leaf spec: shard the LARGEST axis divisible by the
+    mesh size over `data`; leaves with no such axis (scalars, small biases)
+    stay replicated.  Ties go to the earliest axis."""
+    best_ax, best_size = None, 0
+    for ax, size in enumerate(shape):
+        if size % n_shards == 0 and size > best_size:
+            best_ax, best_size = ax, size
+    if best_ax is None:
+        return P()
+    return P(*([None] * best_ax + ["data"]))
+
+
+def fsdp_sharding(mesh: Mesh, tree):
+    """NamedSharding tree for fully-sharded (ZeRO) parameter/optimizer
+    placement over the `data` axis."""
+    n = mesh.size
+    return jax.tree.map(
+        lambda a: NamedSharding(mesh, fsdp_spec(a.shape, n)), tree
+    )
+
+
 def shard_batch(mesh: Mesh, batch):
     """Place a host-side Batch pytree with its batch dim over the data axis."""
     sh = batch_sharding(mesh)
     return jax.tree.map(lambda a: jax.device_put(a, sh), batch)
 
 
-def shard_state(mesh: Mesh, state):
-    """Replicate train state (params + opt) across the mesh."""
+def shard_state(mesh: Mesh, state, fsdp: bool = False):
+    """Place train state (params + opt) across the mesh.
+
+    Default (reference DDP semantics, SURVEY.md §2 parallelism table):
+    everything replicated.  With ``fsdp=True`` each parameter / optimizer
+    leaf is instead SHARDED over `data` on its largest divisible axis
+    (ZeRO: per-chip HBM for master params + Adam moments drops ~mesh-size
+    fold).  The step functions are unchanged — GSPMD all-gathers params in
+    front of the shard_map'd loss and partitions the optimizer update along
+    the stored layout; `cfg.fsdp` gates a sharding constraint that keeps the
+    updated state sharded across steps."""
+    if fsdp:
+        n = mesh.size
+        return jax.tree.map(
+            lambda a: jax.device_put(
+                a, NamedSharding(mesh, fsdp_spec(jnp.shape(a), n))
+            ),
+            state,
+        )
     rep = replicated(mesh)
     return jax.tree.map(lambda a: jax.device_put(a, rep), state)

@@ -151,7 +151,7 @@ def train(cfg: Config, work_dir: str = "runs/default", max_steps: Optional[int] 
     example = next(loader.epoch(0))
     state = init_state(cfg, rng, example)
     state = warm_start(cfg, state)
-    state = shard_state(mesh, state)
+    state = shard_state(mesh, state, fsdp=bool(cfg.fsdp))
 
     if cfg.use_gan:
         train_step, val_step = make_gan_train_step(cfg, mesh)

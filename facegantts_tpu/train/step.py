@@ -39,12 +39,12 @@ from typing import Any, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from facegantts_tpu.config import Config
 from facegantts_tpu.models.discriminator import SpectrogramDiscriminator
 from facegantts_tpu.models.facetts import FaceTTS
-from facegantts_tpu.parallel.mesh import create_mesh
+from facegantts_tpu.parallel.mesh import create_mesh, fsdp_spec
 from facegantts_tpu.train.optim import (
     build_discriminator_optimizer,
     build_gan_generator_optimizer,
@@ -240,6 +240,25 @@ def _mp_caster(cfg: Config):
 # step factories
 # --------------------------------------------------------------------------
 
+def _fsdp_constrainer(mesh: Mesh):
+    """Pin a state pytree to its ZeRO layout (parallel/mesh.py fsdp_spec)
+    inside the jitted step, so updated params/opt leaves stay SHARDED over
+    `data` across steps instead of drifting to whatever layout GSPMD
+    propagates from the replicated gradients.  Only reached when cfg.fsdp —
+    the default path's HLO is untouched."""
+    n = mesh.size
+
+    def constrain(tree):
+        return jax.tree.map(
+            lambda a: jax.lax.with_sharding_constraint(
+                a, NamedSharding(mesh, fsdp_spec(a.shape, n))
+            ),
+            tree,
+        )
+
+    return constrain
+
+
 def make_plain_train_step(cfg: Config, mesh: Optional[Mesh] = None):
     """No-GAN training step (reference face_tts.py:243-279)."""
     model, _ = build_models(cfg)
@@ -301,6 +320,9 @@ def make_plain_train_step(cfg: Config, mesh: Optional[Mesh] = None):
         grads, metrics = grads_sm(state.params, state.model_state, batch, rng)
         updates, opt_state = gen_tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
+        if cfg.fsdp:
+            constrain = _fsdp_constrainer(mesh)
+            params, opt_state = constrain(params), constrain(opt_state)
         metrics["grad_norm"] = optax.global_norm(grads)
         return state.replace(step=state.step + 1, params=params, opt_state=opt_state), metrics
 
@@ -535,6 +557,12 @@ def make_gan_train_step(cfg: Config, mesh: Optional[Mesh] = None):
             params = optax.apply_updates(state.params, g_updates)
         else:
             params, opt_state = state.params, state.opt_state
+
+        if cfg.fsdp:
+            constrain = _fsdp_constrainer(mesh)
+            params, opt_state = constrain(params), constrain(opt_state)
+            disc_params = constrain(disc_params)
+            disc_opt_state = constrain(disc_opt_state)
 
         new_state = state.replace(
             step=state.step + 1,

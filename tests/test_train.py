@@ -116,6 +116,55 @@ def test_gan_step_data_parallel_cpu_mesh():
     assert leaf.sharding.is_fully_replicated
 
 
+def test_gan_step_fsdp_matches_replicated():
+    """cfg.fsdp=1: master params + Adam moments sharded over `data` (ZeRO
+    layout, parallel/mesh.py fsdp_spec), GSPMD all-gathers in front of the
+    shard_map'd loss — metrics and updated params must match the replicated
+    (DDP) run, and big leaves must actually come back SHARDED."""
+    from jax.sharding import PartitionSpec as P
+
+    from facegantts_tpu.parallel import fsdp_spec, shard_state
+
+    assert fsdp_spec((16, 3, 64), 4) == P(None, None, "data")
+    assert fsdp_spec((3,), 4) == P()  # no divisible axis -> replicated
+
+    cpus = jax.devices("cpu")
+    if len(cpus) < 4:
+        pytest.skip("needs virtual CPU devices")
+    mesh = create_mesh(cpus[:4])
+    batch = tiny_batch(b=8)
+    rngs = (jax.random.PRNGKey(0), jax.random.PRNGKey(1))
+
+    cfg = default_config(env=dict(TINY, use_gan="1", micro_batch_size="2"))
+    state = shard_state(mesh, init_state(cfg, rngs[0], batch))
+    step, _ = make_gan_train_step(cfg, mesh)
+    ref_state, ref_m = step(state, shard_batch(mesh, batch), rngs[1])
+
+    cfg_f = cfg.replace(fsdp=1)
+    state_f = shard_state(mesh, init_state(cfg_f, rngs[0], batch), fsdp=True)
+    step_f, _ = make_gan_train_step(cfg_f, mesh)
+    new_f, m_f = step_f(state_f, shard_batch(mesh, batch), rngs[1])
+
+    for k in ref_m:
+        np.testing.assert_allclose(
+            float(m_f[k]), float(ref_m[k]), rtol=2e-4, atol=1e-5, err_msg=k
+        )
+    flat_ref = jax.tree.leaves(_snap(ref_state.params))
+    flat_f = jax.tree.leaves(_snap(new_f.params))
+    for a, b in zip(flat_ref, flat_f):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-5)
+    # updated big leaves stay sharded over `data` (not gathered back)
+    sharded = [
+        a for a in jax.tree.leaves(new_f.params)
+        if not a.sharding.is_fully_replicated
+    ]
+    assert sharded, "fsdp=1 produced only replicated param leaves"
+    assert any(
+        not a.sharding.is_fully_replicated
+        for a in jax.tree.leaves(new_f.opt_state)
+    ), "optimizer state not sharded under fsdp=1"
+
+
 def test_plain_train_step_bf16_mixed_precision():
     """train_bf16: model computes in bfloat16, master params/optimizer stay
     f32, metrics finite and close to the f32 step's."""
