@@ -28,6 +28,33 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def probe_backend(timeout_s: int = 240):
+    """Fail FAST (clear message, rc=2) if the device backend is unreachable.
+
+    When the axon TPU tunnel is down, the plugin retries its connect in a
+    sleep loop forever, so `jax.devices()` — and therefore this whole
+    benchmark — hangs silently.  A SIGALRM bounds the first backend touch;
+    on timeout we print a diagnostic instead of stalling the driver."""
+    import signal
+
+    def _on_alarm(signum, frame):
+        log(f"FATAL: JAX backend initialization exceeded {timeout_s}s — "
+            "device tunnel unreachable (axon connect-retry loop). "
+            "No benchmark numbers were produced.")
+        os._exit(2)
+
+    old = signal.signal(signal.SIGALRM, _on_alarm)
+    signal.alarm(timeout_s)
+    try:
+        import jax
+
+        dev = jax.devices()[0]
+        log(f"backend OK: {dev}")
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+
+
 def bench_inference(n_iters: int = 10):
     import jax
 
@@ -157,6 +184,7 @@ def bench_batch_throughput(batch: int = 8, n_iters: int = 5):
 
 
 def main():
+    probe_backend()
     rtf = bench_inference()
     if os.environ.get("BENCH_BATCH", "0") == "1":
         bench_batch_throughput()

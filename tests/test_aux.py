@@ -299,6 +299,48 @@ def test_orbax_roundtrip_and_generator_restore(tmp_path):
     np.testing.assert_allclose(variables["batch_stats"]["syncnet"]["m"], np.ones(2))
 
 
+def test_orbax_roundtrip_fsdp_sharded_state(tmp_path):
+    """cfg.fsdp=1 states hold SHARDED jax.Arrays (parallel/mesh.py
+    fsdp_spec); orbax must save them (gathering across the mesh) and the
+    resume path (train/loop.py warm_start -> restore to a host template ->
+    shard_state(fsdp=True)) must reproduce the exact values and layout."""
+    import jax
+    import jax.numpy as jnp
+
+    from facegantts_tpu.parallel import shard_state
+    from facegantts_tpu.parallel.mesh import create_mesh
+    from facegantts_tpu.train import checkpoint as ck
+    from facegantts_tpu.train.state import TrainState
+
+    cpus = jax.devices("cpu")
+    if len(cpus) < 4:
+        pytest.skip("needs virtual CPU devices")
+    mesh = create_mesh(cpus[:4])
+
+    host = TrainState(
+        step=jnp.asarray(7, jnp.int32),
+        params={"w": jnp.arange(32.0).reshape(8, 4), "b": jnp.ones(3)},
+        opt_state={"mu": {"w": jnp.full((8, 4), 0.5), "b": jnp.zeros(3)}},
+        model_state={},
+    )
+    sharded = shard_state(mesh, host, fsdp=True)
+    assert not sharded.params["w"].sharding.is_fully_replicated
+
+    d = str(tmp_path / "ckpt")
+    ck.save_checkpoint(d, sharded, step=7, keep=1)
+
+    # resume: restore into a HOST template (as warm_start does), then re-shard
+    target = jax.tree.map(np.zeros_like, host)
+    restored = ck.restore_checkpoint(d, target)
+    assert int(restored.step) == 7
+    np.testing.assert_allclose(restored.params["w"], np.arange(32.0).reshape(8, 4))
+    np.testing.assert_allclose(restored.opt_state["mu"]["w"], np.full((8, 4), 0.5))
+    resharded = shard_state(mesh, restored, fsdp=True)
+    assert not resharded.params["w"].sharding.is_fully_replicated
+    np.testing.assert_allclose(np.asarray(resharded.params["w"]),
+                               np.arange(32.0).reshape(8, 4))
+
+
 def test_checkpoint_policy_metric_ranked_eviction(tmp_path):
     """Top-k retention evicts the WORST checkpoint by metric, not the
     oldest (reference ModelCheckpoint save_top_k=3 on val/total_loss,
