@@ -26,6 +26,13 @@ six scripts in a separate conda env, README.md:9-13):
   dynamic-threshold nearest-neighbor assignment (labeling.py:73-98, cosine
   instead of L2 since SyncNet embeddings are trained with cosine contrast).
 
+- ``filter-test``   : preview the denoise + adaptive-bandstop/highpass/
+  lowpass filter chain on corpus wavs (reference
+  data_filtering/filter_test.py).
+- ``plot-noise``    : mean/median corpus spectrograms + dominant-peak /
+  -3 dB-bandwidth / Q analysis used to place the adaptive bandstop
+  (reference data_filtering/plot_noise_frequencies.py).
+
 Usage:
   python -m facegantts_tpu.data.lrs2_prep <subcommand> [key=value ...]
 """
@@ -419,6 +426,83 @@ def label_speakers(cfg, video_root: str, out_path: str,
 
 
 # ---------------------------------------------------------------------------
+# Audio-filter experiments (reference lrs2_preprocessing/data_filtering/)
+# ---------------------------------------------------------------------------
+
+def filter_test(cfg, input_dir: str, output_dir: str, limit: int = 2000):
+    """Preview the preprocessing filter chain on up to ``limit`` corpus wavs
+    (reference data_filtering/filter_test.py:16-114): spectral-gate denoise,
+    adaptive bandstop / highpass / lowpass biquads per the ``use_*_filter``
+    config gates, 50 ms fade-out, written under ``output_dir`` preserving
+    relative paths."""
+    from facegantts_tpu.data.denoise import fade_out, spectral_gate
+    from facegantts_tpu.data.filters import apply_filter_chain
+    from facegantts_tpu.utils.audio import load_wav, save_wav
+
+    paths = []
+    for r, _, files in os.walk(input_dir):
+        paths += [os.path.join(r, f) for f in sorted(files) if f.endswith(".wav")]
+    paths = sorted(paths)[:limit]
+    print(f"filter-test: processing {len(paths)} wavs -> {output_dir}")
+    os.makedirs(output_dir, exist_ok=True)
+    for path in paths:
+        try:
+            wav, sr = load_wav(path)
+            wav = spectral_gate(wav, sr, prop_decrease=cfg.denoise_factor)
+            actions: List[str] = []
+            wav = apply_filter_chain(wav, sr, cfg, log=actions)
+            wav = fade_out(wav, sr)
+            rel = os.path.relpath(path, input_dir)
+            out_path = os.path.join(output_dir, rel)
+            os.makedirs(os.path.dirname(out_path), exist_ok=True)
+            save_wav(out_path, wav, sr)
+            if actions:
+                print(f"  {rel}: " + "; ".join(actions))
+        except Exception as e:  # keep going like the reference (:111-112)
+            print(f"  error {path}: {e}")
+    print(f"filter-test done: {len(paths)} files in {output_dir}")
+
+
+def plot_noise(cfg, input_dir: str, output_dir: str, limit: int = 2000):
+    """Corpus noise-frequency analysis (reference
+    data_filtering/plot_noise_frequencies.py): mean/median dB spectrograms
+    over up to ``limit`` wavs, plus the dominant-peak / -3 dB-bandwidth /
+    implied-Q report used to place the adaptive bandstop."""
+    from facegantts_tpu.data.filters import _stft_mag, noise_frequency_analysis
+    from facegantts_tpu.evaluation.analysis import save_spectrogram_db
+    from facegantts_tpu.utils.audio import load_wav
+
+    paths = []
+    for r, _, files in os.walk(input_dir):
+        paths += [os.path.join(r, f) for f in sorted(files) if f.endswith(".wav")]
+    paths = sorted(paths)[:limit]
+    if not paths:
+        raise SystemExit(f"no wavs under {input_dir}")
+    os.makedirs(output_dir, exist_ok=True)
+    specs, sr = [], cfg.sample_rate
+    for path in paths:
+        try:
+            wav, sr = load_wav(path)
+            mag = _stft_mag(wav, cfg.n_fft, cfg.hop_len, cfg.win_len)
+            specs.append(20.0 * np.log10(mag + 1e-8))
+        except Exception as e:
+            print(f"  error {path}: {e}")
+    min_t = min(s.shape[1] for s in specs)
+    stack = np.stack([s[:, :min_t] for s in specs])
+    mean_spec, median_spec = stack.mean(axis=0), np.median(stack, axis=0)
+    for data, name in ((mean_spec, "mean"), (median_spec, "median")):
+        out = os.path.join(output_dir, f"{name}_spectrogram.pdf")
+        save_spectrogram_db(data, out, title=f"{name.capitalize()} Spectrogram")
+        print(f"{name} spectrogram saved at: {out}")
+    report = noise_frequency_analysis(mean_spec, sr)
+    print(f"Dominant frequency (Peak): Bin {report['peak_bin']} -> "
+          f"{report['peak_freq_hz']} Hz")
+    print(f"-3 dB bandwidth: {report['bandwidth_hz']:.2f} Hz -> "
+          f"Q-Value: {report['q_value']}")
+    return report
+
+
+# ---------------------------------------------------------------------------
 # CLI
 # ---------------------------------------------------------------------------
 
@@ -431,7 +515,8 @@ def main(argv=None):
     cfg = default_config(overrides={
         k: v for k, v in kv.items()
         if k not in ("video_root", "audio_root", "dest_root", "src_root",
-                     "mapping", "out", "workers", "sample_rate")
+                     "mapping", "out", "workers", "sample_rate",
+                     "input_dir", "limit")
     })
     root = kv.get("dest_root", cfg.lrs2_path)
     if cmd == "extract-audio":
@@ -452,6 +537,13 @@ def main(argv=None):
         label_speakers(cfg, kv.get("video_root", root),
                        kv.get("out", os.path.join(root, "speaker_mapping.txt")),
                        int(kv.get("sample_rate", 5)))
+    elif cmd == "filter-test":
+        filter_test(cfg, kv.get("input_dir", os.path.join(root, cfg.audio_data_root)),
+                    kv.get("out", "test_preprocessed_wavs"),
+                    int(kv.get("limit", 2000)))
+    elif cmd == "plot-noise":
+        plot_noise(cfg, kv.get("input_dir", os.path.join(root, cfg.audio_data_root)),
+                   kv.get("out", "filter_plots"), int(kv.get("limit", 2000)))
     else:
         raise SystemExit(f"unknown subcommand {cmd!r}\n\n{__doc__}")
 

@@ -70,20 +70,12 @@ def _load_face(clip_path: str, cfg: Config, rng) -> Optional[np.ndarray]:
 
 
 def _apply_filters(wav: np.ndarray, cfg: Config) -> np.ndarray:
-    """Optional bandstop/highpass/lowpass experiments (reference
-    config.py:75-83, data filtering suite)."""
-    from scipy.signal import butter, iirnotch, sosfiltfilt, tf2sos
+    """Optional adaptive-bandstop/highpass/lowpass experiments with the
+    reference's exact RBJ biquad semantics (reference config.py:75-83,
+    filter_test.py:59-98; see data/filters.py)."""
+    from facegantts_tpu.data.filters import apply_filter_chain
 
-    if cfg.use_bandstop_filter:
-        b, a = iirnotch(202.73, cfg.bandstop_q_value, fs=cfg.sample_rate)
-        wav = sosfiltfilt(tf2sos(b, a), wav).astype(np.float32)
-    if cfg.use_highpass_filter:
-        sos = butter(4, cfg.highpass_cutoff, "highpass", fs=cfg.sample_rate, output="sos")
-        wav = sosfiltfilt(sos, wav).astype(np.float32)
-    if cfg.use_lowpass_filter:
-        sos = butter(4, cfg.lowpass_cutoff, "lowpass", fs=cfg.sample_rate, output="sos")
-        wav = sosfiltfilt(sos, wav).astype(np.float32)
-    return wav
+    return apply_filter_chain(wav, cfg.sample_rate, cfg)
 
 
 def pack_split(cfg: Config, split: str, shard_size: int = 512) -> List[str]:

@@ -64,22 +64,10 @@ def biquad_bandpass(wav: np.ndarray, sr: int, lo: float = 300.0,
     clamp to [-1, 1] after each filter.  Use on raw waveforms; for
     packed mel-only data see :func:`mel_bandpass` (delta quantified in
     tests/test_world.py)."""
-    import math
+    from facegantts_tpu.data.filters import highpass_biquad, lowpass_biquad
 
-    from scipy.signal import lfilter
-
-    out = np.asarray(wav, np.float64)
-    for kind, fc in (("hp", lo), ("lp", hi)):
-        w0 = 2.0 * math.pi * fc / sr
-        cw, sw = math.cos(w0), math.sin(w0)
-        alpha = sw / (2.0 * q)
-        if kind == "hp":
-            b = np.array([(1 + cw) / 2, -(1 + cw), (1 + cw) / 2])
-        else:
-            b = np.array([(1 - cw) / 2, 1 - cw, (1 - cw) / 2])
-        a = np.array([1 + alpha, -2 * cw, 1 - alpha])
-        out = lfilter(b / a[0], a / a[0], out)
-        out = np.clip(out, -1.0, 1.0)  # torchaudio lfilter clamp=True
+    out = highpass_biquad(wav, sr, lo, q)
+    out = lowpass_biquad(out, sr, hi, q)
     return out.astype(np.float32)
 
 

@@ -85,6 +85,27 @@ def save_mel_plot(mel: np.ndarray, path: str, title: Optional[str] = None):
     plt.close(fig)
 
 
+def save_spectrogram_db(spec_db: np.ndarray, path: str,
+                        title: Optional[str] = None):
+    """Linear-frequency dB spectrogram image (reference
+    data_filtering/plot_noise_frequencies.py:50-59: magma colormap,
+    frequency bins on y, time frames on x, dB colorbar)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig = plt.figure(figsize=(10, 4), constrained_layout=True)
+    plt.imshow(np.asarray(spec_db), origin="lower", aspect="auto", cmap="magma")
+    if title:
+        plt.title(title)
+    plt.xlabel("Time Frames")
+    plt.ylabel("Frequency Bins")
+    plt.colorbar(label="Amplitude (dB)")
+    plt.savefig(path, dpi=300, bbox_inches="tight")
+    plt.close(fig)
+
+
 def save_mel_comparison(
     mels: Sequence[Tuple[str, np.ndarray]], path: str
 ):
