@@ -29,18 +29,50 @@ def log(*a):
 
 
 def probe_backend(timeout_s: int = 240):
-    """Fail FAST (clear message, rc=2) if the device backend is unreachable.
+    """Bound backend availability instead of hanging forever.
 
     When the axon TPU tunnel is down, the plugin retries its connect in a
-    sleep loop forever, so `jax.devices()` — and therefore this whole
-    benchmark — hangs silently.  A SIGALRM bounds the first backend touch;
-    on timeout we print a diagnostic instead of stalling the driver."""
+    sleep loop forever, so the first `jax.devices()` — and therefore this
+    whole benchmark — hangs silently.  Worse, once the in-process plugin
+    enters that loop it never exits, so a retry must happen in a CHILD
+    process: we probe with short-lived subprocesses until one sees a
+    device (tunnel flaps of a few minutes are survivable), then touch the
+    backend in-process under a SIGALRM bound.  If no probe succeeds within
+    $BENCH_PROBE_WINDOW seconds (default 900), exit rc=2 with a diagnostic
+    rather than stalling the driver."""
     import signal
+    import subprocess
+
+    window = float(os.environ.get("BENCH_PROBE_WINDOW", "900"))
+    deadline = time.monotonic() + window
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.devices()[0])"],
+                capture_output=True, text=True, timeout=90,
+            )
+            if out.returncode == 0 and out.stdout.strip():
+                log(f"backend probe OK (attempt {attempt}): {out.stdout.strip()}")
+                break
+            log(f"backend probe attempt {attempt} failed rc={out.returncode}: "
+                f"{(out.stderr or '').strip()[-200:]}")
+        except subprocess.TimeoutExpired:
+            log(f"backend probe attempt {attempt} timed out (90s) — "
+                "tunnel likely down")
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            log(f"FATAL: no device backend within {window:.0f}s "
+                f"({attempt} probes) — device tunnel unreachable (axon "
+                "connect-retry loop). No benchmark numbers were produced.")
+            os._exit(2)
+        time.sleep(min(45.0, max(5.0, remaining / 4)))
 
     def _on_alarm(signum, frame):
-        log(f"FATAL: JAX backend initialization exceeded {timeout_s}s — "
-            "device tunnel unreachable (axon connect-retry loop). "
-            "No benchmark numbers were produced.")
+        log(f"FATAL: in-process backend init exceeded {timeout_s}s after a "
+            "successful probe — tunnel flapped. No benchmark numbers.")
         os._exit(2)
 
     old = signal.signal(signal.SIGALRM, _on_alarm)
