@@ -78,3 +78,26 @@ class HiFiGANGenerator(nn.Module):
         x = nn.leaky_relu(x, LRELU_SLOPE)
         x = nn.Conv(1, (7,), padding=((3, 3),), name="conv_post")(x)
         return jnp.tanh(x)[..., 0]  # (B, T_samples)
+
+    def margin_frames(self) -> int:
+        """Mel-frame receptive-field half-width of the whole generator: an
+        output sample at time t depends on mel frames within
+        ``t // hop ± margin_frames()`` only.  Walking the layer stack
+        backwards from the waveform: conv_post (k=7 -> 3), then per
+        upsample stage the MRF resblocks' dilated-conv context at that
+        stage's rate followed by the transposed conv's stride division,
+        then conv_pre (k=7 -> 3).  This bound makes tiled (streaming)
+        vocoding exact: windows overlapped by >= margin_frames() and
+        trimmed by the same amount reproduce the full-signal output
+        (see synthesis.Synthesizer.stream_vocode)."""
+        m = 3  # conv_post
+        for r, k in zip(reversed(self.upsample_rates),
+                        reversed(self.upsample_kernel_sizes)):
+            rf = max(
+                sum((rk - 1) // 2 * d + (rk - 1) // 2 for d in rd)
+                for rk, rd in zip(self.resblock_kernel_sizes,
+                                  self.resblock_dilations)
+            )
+            m += rf
+            m = -(-(m + k - 1) // r)  # ceil((m + k - 1) / r)
+        return m + 3  # conv_pre

@@ -24,6 +24,12 @@ Endpoints:
                            "temperature"?, "seed"?} -> audio/wav bytes
                            (or JSON {"wav_b64", "sample_rate"} with
                            {"format": "json"})
+  POST /synthesize_stream {"text": str, "face_b64"?, "chunk_frames"?, ...}
+                          -> chunked-transfer raw s16le PCM (sample rate in
+                          the X-Sample-Rate header); audio starts flowing
+                          after one vocoder window instead of the full
+                          utterance, and the byte stream is sample-exact
+                          with /synthesize (Synthesizer.stream_vocode)
   POST /synthesize_batch  {"texts": [str], "face_b64"?, ...} ->
                            {"wavs_b64": [...], "sample_rate": N}
 
@@ -125,6 +131,22 @@ class SynthesisService:
         self.audio_seconds += len(wav) / self.cfg.sample_rate
         return wav
 
+    def synthesize_streaming(self, text, face, chunk_frames: int = 64, **kw):
+        """Yield float32 wav chunks under the service lock (generator is
+        fully drained inside the lock: one accelerator, one dispatch
+        stream)."""
+        t0 = time.monotonic()
+        total = 0
+        with self.lock:
+            for chunk in self.synth.synthesize_streaming(
+                text, face, chunk_frames=chunk_frames, **kw
+            ):
+                total += len(chunk)
+                yield chunk
+        self.busy_seconds += time.monotonic() - t0
+        self.requests += 1
+        self.audio_seconds += total / self.cfg.sample_rate
+
     def synthesize_batch(self, texts, face, **kw):
         t0 = time.monotonic()
         with self.lock:
@@ -151,6 +173,10 @@ class SynthesisService:
 
 class _Handler(BaseHTTPRequestHandler):
     service: SynthesisService  # set by make_server
+    # HTTP/1.1: required for Transfer-Encoding: chunked on
+    # /synthesize_stream; every other endpoint sends Content-Length, so
+    # keep-alive framing stays correct.
+    protocol_version = "HTTP/1.1"
 
     def log_message(self, fmt, *args):  # quiet by default
         if os.environ.get("SERVE_VERBOSE"):
@@ -179,6 +205,8 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             if self.path == "/synthesize":
                 return self._synthesize(req)
+            if self.path == "/synthesize_stream":
+                return self._synthesize_stream(req)
             if self.path == "/synthesize_batch":
                 return self._synthesize_batch(req)
             return self._json(404, {"error": f"unknown path {self.path}"})
@@ -216,6 +244,32 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_header("Content-Length", str(len(body)))
         self.end_headers()
         self.wfile.write(body)
+
+    def _synthesize_stream(self, req: dict):
+        """Chunked-transfer streaming: raw little-endian int16 PCM mono,
+        flushed chunk by chunk as the tiled vocoder emits audio (exact —
+        the concatenation equals /synthesize's samples; see
+        Synthesizer.stream_vocode).  Sample rate is in the X-Sample-Rate
+        header; clients play as they read."""
+        text = req["text"]
+        face = self.service.decode_face(req.get("face_b64"))
+        chunk_frames = int(req.get("chunk_frames", 64))
+        gen = self.service.synthesize_streaming(
+            text, face, chunk_frames=chunk_frames, **self._sampling_kw(req)
+        )
+        self.send_response(200)
+        self.send_header("Content-Type", "application/octet-stream")
+        self.send_header("X-Sample-Rate", str(self.service.cfg.sample_rate))
+        self.send_header("X-PCM-Format", "s16le")
+        self.send_header("Transfer-Encoding", "chunked")
+        self.end_headers()
+        for chunk in gen:
+            pcm = (np.clip(chunk, -1.0, 1.0) * 32767).astype("<i2").tobytes()
+            self.wfile.write(f"{len(pcm):x}\r\n".encode())
+            self.wfile.write(pcm)
+            self.wfile.write(b"\r\n")
+            self.wfile.flush()
+        self.wfile.write(b"0\r\n\r\n")
 
     def _synthesize_batch(self, req: dict):
         texts = req["texts"]

@@ -124,12 +124,28 @@ class Synthesizer:
 
     @lru_cache(maxsize=None)
     def _decode_fn(self, tx: int, ty: int, n_timesteps: int, temperature: float, stoc: bool):
+        """Diffusion decode only (mel out, no vocoder) — the streaming
+        path's first stage.  Mirrors _decode_vocode_fn's cfg.use_bf16
+        casting exactly so both paths draw the SAME diffusion noise
+        (jax.random.normal samples depend on the requested dtype)."""
+        use_bf16 = bool(self.cfg.use_bf16)
+
         def fn(variables, mu_x, w_ceil, x_mask, y_lengths, spk_e, rng):
-            return self.model.apply(
+            if use_bf16:
+                cast = lambda t: jax.tree.map(  # noqa: E731
+                    lambda a: a.astype(jnp.bfloat16)
+                    if a.dtype == jnp.float32 else a, t
+                )
+                variables = cast(variables)
+                mu_x, w_ceil, x_mask, spk_e = (
+                    t.astype(jnp.bfloat16) for t in (mu_x, w_ceil, x_mask, spk_e)
+                )
+            mu_y, dec, attn, y_len = self.model.apply(
                 variables, mu_x, w_ceil, x_mask, y_lengths, spk_e,
                 n_timesteps, ty, temperature, stoc, rng,
                 method=FaceTTS.decode,
             )
+            return mu_y, dec.astype(jnp.float32), attn, y_len
 
         return jax.jit(fn)
 
@@ -165,8 +181,18 @@ class Synthesizer:
 
     @lru_cache(maxsize=None)
     def _vocode_fn(self, ty: int):
+        """Vocoder-only dispatch; honors cfg.use_bf16 like the fused path
+        (weights + mel cast to bfloat16, waveform returned f32)."""
+        use_bf16 = bool(self.cfg.use_bf16)
+
         def fn(params, mel):
-            return self.vocoder.apply({"params": params}, mel)
+            if use_bf16:
+                params = jax.tree.map(
+                    lambda a: a.astype(jnp.bfloat16)
+                    if a.dtype == jnp.float32 else a, params
+                )
+                mel = mel.astype(jnp.bfloat16)
+            return self.vocoder.apply({"params": params}, mel).astype(jnp.float32)
 
         return jax.jit(fn)
 
@@ -338,6 +364,86 @@ class Synthesizer:
         out = np.clip(wav[0][: n_frames * self.cfg.hop_len], -1.0, 1.0)
         mel = dec[0][:, :n_frames] if return_mel else None
         return out, mel
+
+    def stream_vocode(self, mel, chunk_frames: int = 64,
+                      margin: Optional[int] = None):
+        """Tiled (streaming) vocoding: yield waveform chunks for a log-mel
+        of ANY length using ONE compiled vocoder executable of static window
+        size — exact, not approximate.
+
+        HiFi-GAN is fully convolutional, so an output sample depends only on
+        mel frames within ``vocoder.margin_frames()`` of its own frame.
+        Each window covers ``margin + chunk + margin`` frames; the emitted
+        region stays >= margin frames from a window edge unless that edge is
+        a true signal edge (first window left-aligned, last window
+        right-aligned), which reproduces the full-signal 'SAME' padding.
+        The concatenated chunks equal a single full-mel vocoder call
+        (tests/test_synthesis.py), while time-to-first-audio drops from
+        vocode(T) to vocode(window) and arbitrary mel lengths stop minting
+        new executables.
+
+        ``mel``: (n_mels, T) or (1, n_mels, T), numpy or device array,
+        trimmed to the true length.  Yields float32 host chunks in order.
+        """
+        mel = jnp.asarray(mel)
+        if mel.ndim == 2:
+            mel = mel[None]
+        T = mel.shape[-1]
+        hop = self.cfg.hop_len
+        M = self.vocoder.margin_frames() if margin is None else margin
+        S = chunk_frames + 2 * M
+        if T <= S:  # short utterance: one call is already minimal
+            wav = jax.device_get(self._vocode_fn(T)(self.vocoder_params, mel))
+            yield np.clip(wav[0], -1.0, 1.0).astype(np.float32)
+            return
+        fn = self._vocode_fn(S)
+        for e in range(0, T, chunk_frames):
+            p = max(0, min(e - M, T - S))
+            wav = fn(self.vocoder_params, jax.lax.dynamic_slice_in_dim(mel, p, S, 2))
+            lo, hi = e - p, min(e + chunk_frames, T) - p
+            out = jax.device_get(wav)[0, lo * hop:hi * hop]
+            yield np.clip(out, -1.0, 1.0).astype(np.float32)
+
+    def synthesize_streaming(
+        self,
+        text,
+        face,
+        n_timesteps: Optional[int] = None,
+        temperature: Optional[float] = None,
+        stoc: bool = False,
+        seed: int = 0,
+        chunk_frames: int = 64,
+    ):
+        """Streaming synthesize: yield waveform chunks as they are vocoded.
+
+        The encoder + diffusion decoder run first (the score-based sampler
+        needs the whole mel), then the vocoder streams via
+        :meth:`stream_vocode` — first audio arrives after one window-sized
+        vocoder call instead of a full-utterance one.  The concatenation of
+        the yielded chunks is sample-exact with vocoding the same mel in one
+        call.  Serving counterpart: serve.py /synthesize_stream."""
+        cfg = self.cfg
+        n_timesteps = n_timesteps or cfg.timesteps
+        temperature = cfg.temperature if temperature is None else temperature
+
+        ids = self.encode_text(text) if isinstance(text, str) else np.asarray(text, np.int32)
+        tx = pick_bucket(len(ids), cfg.text_buckets)
+        x = np.zeros((1, tx), np.int32)
+        x[0, : len(ids)] = ids
+        x_len = np.array([len(ids)], np.int32)
+        face_b = face if isinstance(face, jax.Array) else self.prepare_face(face)
+
+        mu_x, w_ceil, x_mask, y_lengths, spk_e = self._encode_fn(tx)(
+            self.params, jnp.asarray(x), jnp.asarray(x_len), face_b
+        )
+        frames = int(np.ceil(float(y_lengths[0])))
+        ty = pick_bucket(frames, cfg.mel_buckets)
+        _, dec, _, y_len = self._decode_fn(tx, ty, n_timesteps, temperature, stoc)(
+            self.params, mu_x, w_ceil, x_mask, y_lengths, spk_e,
+            jax.random.PRNGKey(seed),
+        )
+        n_frames = int(jax.device_get(y_len)[0])
+        yield from self.stream_vocode(dec[:, :, :n_frames], chunk_frames)
 
     def synthesize_batch(
         self,

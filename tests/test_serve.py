@@ -19,7 +19,11 @@ from tests.test_train import TINY
 
 @pytest.fixture(scope="module")
 def server():
-    cfg = default_config(env=dict(TINY, use_gan="0")).replace(
+    # use_bf16=0: the streaming-parity test below asserts 1-LSB agreement
+    # between /synthesize and /synthesize_stream, which needs both paths
+    # on the f32 pipeline (bf16 tiling parity is covered, with a looser
+    # tolerance, in tests/test_synthesis.py)
+    cfg = default_config(env=dict(TINY, use_gan="0", use_bf16="0")).replace(
         text_buckets=(16,), mel_buckets=(64,),
     )
     service = SynthesisService(cfg)
@@ -145,3 +149,25 @@ def test_wav_bytes_roundtrip():
     sr, pcm = _parse_wav(wav_bytes(y, 16000))
     assert sr == 16000 and len(pcm) == 1600
     np.testing.assert_allclose(pcm / 32767.0, y, atol=1e-3)
+
+
+def test_synthesize_stream_matches_synthesize(server):
+    srv, service = server
+    body = {"text": "hello world", "seed": 7}
+    resp, data = _request(srv, "POST", "/synthesize", body)
+    assert resp.status == 200
+    sr, ref_pcm = _parse_wav(data)
+
+    resp, data = _request(srv, "POST", "/synthesize_stream",
+                          {**body, "chunk_frames": 16})
+    assert resp.status == 200
+    assert resp.getheader("X-Sample-Rate") == str(sr)
+    assert resp.getheader("X-PCM-Format") == "s16le"
+    got = np.frombuffer(data, "<i2")  # http.client de-chunks for us
+
+    m = service.synth.vocoder.margin_frames() * service.cfg.hop_len
+    assert len(got) == len(ref_pcm)
+    # exact away from /synthesize's bucket-padding tail; |diff| <= 1 LSB
+    # from independent float->int16 rounding of equal-up-to-eps floats
+    assert np.abs(got[:-m].astype(np.int32)
+                  - ref_pcm[:-m].astype(np.int32)).max() <= 1

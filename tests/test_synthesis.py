@@ -128,3 +128,76 @@ def test_synthesize_batch_data_parallel_mesh():
     assert len(par3) == 3
     for w in par3:
         assert len(w) > 0 and np.isfinite(w).all()
+
+
+def test_stream_vocode_exact_vs_full():
+    """Tiled vocoding must reproduce the full-signal vocoder output exactly
+    (up to executable-level float reassociation): the window margin is the
+    generator's receptive-field half-width (models/hifigan.py
+    margin_frames), and signal-edge windows align with the true edges."""
+    from facegantts_tpu.models.hifigan import HiFiGANGenerator
+    from facegantts_tpu.synthesis import Synthesizer
+
+    synth, cfg = tiny_synth()
+    M = synth.vocoder.margin_frames()
+    assert M == HiFiGANGenerator().margin_frames() == 24  # full-size arch too
+
+    rng = np.random.default_rng(0)
+    mel = rng.standard_normal((1, cfg.n_mels, 200)).astype(np.float32)
+    full = jax.device_get(
+        synth._vocode_fn(200)(synth.vocoder_params, mel)
+    )[0]
+    chunks = list(synth.stream_vocode(mel, chunk_frames=48))
+    got = np.concatenate(chunks)
+    assert len(got) == len(full) == 200 * cfg.hop_len
+    np.testing.assert_allclose(got, np.clip(full, -1, 1), atol=2e-5)
+
+    # the margin has teeth: a far-too-small margin must NOT match
+    bad = np.concatenate(list(synth.stream_vocode(mel, chunk_frames=48, margin=1)))
+    assert np.abs(bad - np.clip(full, -1, 1)).max() > 1e-3
+
+
+def test_stream_vocode_short_signal_single_call():
+    synth, cfg = tiny_synth()
+    rng = np.random.default_rng(1)
+    mel = rng.standard_normal((1, cfg.n_mels, 40)).astype(np.float32)
+    chunks = list(synth.stream_vocode(mel, chunk_frames=64))
+    assert len(chunks) == 1 and len(chunks[0]) == 40 * cfg.hop_len
+
+
+def test_synthesize_streaming_matches_vocode_of_same_mel():
+    synth, cfg = tiny_synth()
+    ids = np.arange(1, 11, dtype=np.int32)
+    face = synth.prepare_face(np.zeros((224, 224, 3), np.float32))
+
+    wav, mel = synth.synthesize(ids, face, seed=5)
+    got = np.concatenate(list(
+        synth.synthesize_streaming(ids, face, seed=5, chunk_frames=16)
+    ))
+    # same mel -> streamed vocode equals direct vocode of the trimmed mel
+    ref = jax.device_get(
+        synth._vocode_fn(mel.shape[-1])(synth.vocoder_params, mel[None])
+    )[0]
+    np.testing.assert_allclose(got, np.clip(ref, -1, 1), atol=2e-5)
+    # and agrees with synthesize() away from the bucket-padding tail
+    m = synth.vocoder.margin_frames() * cfg.hop_len
+    assert len(got) == len(wav)
+    np.testing.assert_allclose(got[:-m], wav[:-m], atol=2e-5)
+
+
+def test_streaming_bf16_consistent_with_fused_path():
+    """Under cfg.use_bf16 (the serving default) the streaming decode must
+    draw the SAME bf16 diffusion noise as the fused path — outputs agree up
+    to bfloat16 vocoder round-off, not just statistically."""
+    synth, cfg = tiny_synth(use_bf16="1")
+    ids = np.arange(1, 11, dtype=np.int32)
+    face = synth.prepare_face(np.zeros((224, 224, 3), np.float32))
+
+    wav, _ = synth.synthesize(ids, face, seed=2)
+    got = np.concatenate(list(
+        synth.synthesize_streaming(ids, face, seed=2, chunk_frames=16)
+    ))
+    assert len(got) == len(wav)
+    m = synth.vocoder.margin_frames() * cfg.hop_len
+    # same mel; bf16 tiling/fusion reassociation bounds the wav delta
+    np.testing.assert_allclose(got[:-m], wav[:-m], atol=0.05)
