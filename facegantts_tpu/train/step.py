@@ -466,7 +466,7 @@ def make_gan_train_step(cfg: Config, mesh: Optional[Mesh] = None):
         # grad accumulators are data-varying (per-device partial sums): mark
         # them so the scan carry types match inside shard_map
         pvary = lambda t: jax.tree.map(  # noqa: E731
-            lambda a: jax.lax.pvary(jnp.zeros_like(a), ("data",)), t
+            lambda a: jax.lax.pcast(jnp.zeros_like(a), ("data",), to="varying"), t
         )
         zero_d = pvary(disc_params)
         zero_g = pvary(params)
