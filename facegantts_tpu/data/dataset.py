@@ -110,12 +110,10 @@ def collate(items: List[Dict[str, np.ndarray]], tx_bucket: int, ty_bucket: int) 
         y[i, :, :ml] = it["y"][:, :ml]
         spk[i] = it["spk"]
         x_len[i], y_len[i] = tl, ml
-    import jax.numpy as jnp
-
-    return Batch(
-        x=jnp.asarray(x), x_len=jnp.asarray(x_len), y=jnp.asarray(y),
-        y_len=jnp.asarray(y_len), spk=jnp.asarray(spk),
-    )
+    # host (numpy) leaves: the single host->device transfer happens in
+    # parallel/mesh.shard_batch (or implicitly at the jit boundary), not
+    # here — collate runs on the loader's prefetch thread
+    return Batch(x=x, x_len=x_len, y=y, y_len=y_len, spk=spk)
 
 
 class BucketedLoader:
@@ -134,7 +132,15 @@ class BucketedLoader:
         seed: int = 0,
         drop_last: bool = True,
         prefetch: int = 2,
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
     ):
+        """``batch_size`` is GLOBAL.  On a multi-host mesh each process
+        builds the identical epoch plan (same seed) but loads/collates ONLY
+        its contiguous row block — batch_size/process_count items per host
+        instead of the reference's every-rank-loads-everything DataLoader
+        duplication; parallel/mesh.shard_batch reassembles the global array
+        from the per-process blocks."""
         self.ds = dataset
         self.cfg = cfg
         self.batch_size = batch_size
@@ -142,6 +148,22 @@ class BucketedLoader:
         self.seed = seed
         self.drop_last = drop_last
         self.prefetch = prefetch
+        if process_index is None:
+            import jax
+
+            process_index = jax.process_index()
+            process_count = jax.process_count()
+        self.process_index = process_index
+        self.process_count = process_count or 1
+        if self.process_count > 1:
+            if batch_size % self.process_count:
+                raise ValueError(
+                    f"global batch {batch_size} not divisible by "
+                    f"process_count {self.process_count}")
+            if not drop_last:
+                raise ValueError("multi-host loading requires drop_last "
+                                 "(ragged final batches cannot be split "
+                                 "evenly across processes)")
 
         self.buckets: Dict[tuple, List[int]] = {}
         for i, (tl, ml) in enumerate(dataset.lengths()):
@@ -180,9 +202,16 @@ class BucketedLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = object()
 
+        local = self.batch_size // self.process_count
+
         def worker():
             for (tb, mb), chunk in plan:
-                items = [self.ds[i] for i in chunk]
+                # this process's contiguous row block of the global batch
+                # (mesh device order is process-major, so block k lands on
+                # process k's addressable shards)
+                rows = chunk[self.process_index * local:
+                             (self.process_index + 1) * local]
+                items = [self.ds[i] for i in rows]
                 q.put(collate(items, tb, mb))
             q.put(stop)
 

@@ -64,9 +64,25 @@ def fsdp_sharding(mesh: Mesh, tree):
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a host-side Batch pytree with its batch dim over the data axis."""
+    """Place a host-side Batch pytree with its batch dim over the data axis.
+
+    The pytree holds each process's LOCAL rows (BucketedLoader loads only
+    its contiguous block of the global batch); the global array is
+    assembled from the per-process blocks without any cross-host data
+    movement — rows stay on the host that loaded them.  Single host:
+    local == global and this is a plain device_put."""
     sh = batch_sharding(mesh)
-    return jax.tree.map(lambda a: jax.device_put(a, sh), batch)
+    all_local = all(
+        d.process_index == jax.process_index() for d in mesh.devices.flat
+    )
+    n_proc = 1 if all_local else jax.process_count()
+
+    def place(a):
+        a = np.asarray(a)
+        global_shape = (a.shape[0] * n_proc,) + a.shape[1:]
+        return jax.make_array_from_process_local_data(sh, a, global_shape)
+
+    return jax.tree.map(place, batch)
 
 
 def shard_state(mesh: Mesh, state, fsdp: bool = False):

@@ -263,13 +263,18 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_header("X-PCM-Format", "s16le")
         self.send_header("Transfer-Encoding", "chunked")
         self.end_headers()
-        for chunk in gen:
-            pcm = (np.clip(chunk, -1.0, 1.0) * 32767).astype("<i2").tobytes()
-            self.wfile.write(f"{len(pcm):x}\r\n".encode())
-            self.wfile.write(pcm)
-            self.wfile.write(b"\r\n")
-            self.wfile.flush()
-        self.wfile.write(b"0\r\n\r\n")
+        try:
+            for chunk in gen:
+                pcm = (np.clip(chunk, -1.0, 1.0) * 32767).astype("<i2").tobytes()
+                self.wfile.write(f"{len(pcm):x}\r\n".encode())
+                self.wfile.write(pcm)
+                self.wfile.write(b"\r\n")
+                self.wfile.flush()
+            self.wfile.write(b"0\r\n\r\n")
+        finally:
+            # client disconnect mid-stream: release the service lock now,
+            # not at GC time
+            gen.close()
 
     def _synthesize_batch(self, req: dict):
         texts = req["texts"]

@@ -144,7 +144,11 @@ def train(cfg: Config, work_dir: str = "runs/default", max_steps: Optional[int] 
     n_dev = len(jax.devices())
     global_batch = per_device_batch * n_dev
     loader = BucketedLoader(train_ds, cfg, global_batch)
-    val_loader = BucketedLoader(val_ds, cfg, min(global_batch, len(val_ds)), shuffle=False)
+    # val batch: largest device-count multiple that fits the val set (the
+    # batch must split evenly over the data mesh and, multi-host, over
+    # processes — process-sharded loading divides rows by process_count)
+    val_batch = max(n_dev, min(global_batch, len(val_ds)) // n_dev * n_dev)
+    val_loader = BucketedLoader(val_ds, cfg, val_batch, shuffle=False)
 
     mesh = create_mesh()
     rng = jax.random.PRNGKey(cfg.seed)

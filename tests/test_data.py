@@ -63,3 +63,64 @@ def test_collate_padding():
     assert list(np.asarray(b.x_len)) == [4, 2]
     assert list(np.asarray(b.y_len)) == [10, 6]
     assert float(b.y[1, :, 6:].sum()) == 0.0
+
+
+def test_process_sharded_loader_blocks_partition_global_batch():
+    """Multi-host loading: with the same seed, per-process loaders build the
+    identical epoch plan but each materializes only its contiguous row
+    block; stacking the blocks reproduces the single-host global batch."""
+    from facegantts_tpu.config import default_config
+
+    cfg = default_config(env={})
+    ds = SyntheticDataset(n_items=32, n_mels=8)
+    full = BucketedLoader(ds, cfg, batch_size=4, seed=3,
+                          process_index=0, process_count=1)
+    halves = [
+        BucketedLoader(ds, cfg, batch_size=4, seed=3,
+                       process_index=pi, process_count=2)
+        for pi in (0, 1)
+    ]
+    got_full = list(full.epoch(0))
+    got_halves = [list(h.epoch(0)) for h in halves]
+    assert len(got_full) == len(got_halves[0]) == len(got_halves[1])
+    for bf, b0, b1 in zip(got_full, *got_halves):
+        assert b0.x.shape[0] == b1.x.shape[0] == 2
+        for field in ("x", "x_len", "y", "y_len", "spk"):
+            merged = np.concatenate(
+                [getattr(b0, field), getattr(b1, field)], axis=0
+            )
+            np.testing.assert_array_equal(merged, getattr(bf, field))
+
+
+def test_process_sharded_loader_validates_divisibility():
+    import pytest
+
+    from facegantts_tpu.config import default_config
+
+    cfg = default_config(env={})
+    ds = SyntheticDataset(n_items=8, n_mels=8)
+    with pytest.raises(ValueError, match="divisible"):
+        BucketedLoader(ds, cfg, batch_size=3, process_index=0, process_count=2)
+    with pytest.raises(ValueError, match="drop_last"):
+        BucketedLoader(ds, cfg, batch_size=4, drop_last=False,
+                       process_index=0, process_count=2)
+
+
+def test_shard_batch_assembles_from_local_rows():
+    """shard_batch on a single host is the identity placement; the
+    make_array_from_process_local_data path must preserve values/order."""
+    import jax
+
+    from facegantts_tpu.config import default_config
+    from facegantts_tpu.parallel import create_mesh, shard_batch
+
+    cfg = default_config(env={})
+    ds = SyntheticDataset(n_items=64, n_mels=8)
+    loader = BucketedLoader(ds, cfg, batch_size=8, seed=0)
+    batch = next(loader.epoch(0))  # 8 rows: divisible over the 8-dev mesh
+    mesh = create_mesh(jax.devices())
+    placed = shard_batch(mesh, batch)
+    for field in ("x", "x_len", "y", "y_len", "spk"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(placed, field)), getattr(batch, field)
+        )
