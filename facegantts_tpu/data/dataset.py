@@ -24,15 +24,42 @@ from facegantts_tpu.ops.align import fix_len_compatibility
 from facegantts_tpu.train.state import Batch
 
 
+#: member arrays of one packed shard
+SHARD_MEMBERS = ("text_flat", "text_offsets", "mel_flat", "mel_offsets",
+                 "faces", "spk_ids")
+
+
+def _open_shard(path: str) -> Dict[str, np.ndarray]:
+    """One shard -> {member: array}.
+
+    Two on-disk formats:
+    - ``<stem>/`` directory of raw ``<member>.npy`` files (the default
+      written by preprocess.py): opened with ``mmap_mode='r'`` — random
+      item access touches only the pages it reads, nothing is decompressed,
+      and the OS page cache is shared across loader epochs/processes.
+    - legacy ``.npz``: numpy's NpzFile DECOMPRESSES THE WHOLE MEMBER ON
+      EVERY ``[]`` ACCESS (no caching), which turns per-item reads into
+      per-item full-shard inflations — so materialize each member exactly
+      once here."""
+    if os.path.isdir(path):
+        return {
+            m: np.load(os.path.join(path, f"{m}.npy"), mmap_mode="r")
+            for m in SHARD_MEMBERS
+        }
+    with np.load(path, allow_pickle=False) as z:
+        return {m: z[m] for m in SHARD_MEMBERS}
+
+
 class PackedDataset:
     """Reads preprocessed shards written by preprocess.py.
 
-    Shard format (.npz): text_flat/text_offsets (ragged int32), mel_flat
+    Shard members: text_flat/text_offsets (ragged int32), mel_flat
     (n_mels, total_frames) float16/32 + mel_offsets, faces (N, 224, 224, 3)
-    uint8 BGR, spk_ids (N,) int32."""
+    uint8 BGR, spk_ids (N,) int32.  See :func:`_open_shard` for the raw
+    (mmap) vs legacy (.npz) formats."""
 
     def __init__(self, shard_paths: Sequence[str], n_mels: int = 128):
-        self.shards = [np.load(p, allow_pickle=False) for p in shard_paths]
+        self.shards = [_open_shard(p) for p in shard_paths]
         self.n_mels = n_mels
         self.index: List[tuple] = []  # (shard_idx, item_idx)
         for si, sh in enumerate(self.shards):
@@ -43,12 +70,13 @@ class PackedDataset:
         return len(self.index)
 
     def lengths(self):
-        """(text_len, mel_len) per item — used for bucketing."""
-        out = []
-        for si, i in self.index:
-            sh = self.shards[si]
-            to, mo = sh["text_offsets"], sh["mel_offsets"]
-            out.append((int(to[i + 1] - to[i]), int(mo[i + 1] - mo[i])))
+        """(text_len, mel_len) per item — used for bucketing.  Vectorized
+        per shard (self.index is shard-major sequential)."""
+        out: List[tuple] = []
+        for sh in self.shards:
+            tl = np.diff(np.asarray(sh["text_offsets"]))
+            ml = np.diff(np.asarray(sh["mel_offsets"]))
+            out += list(zip(tl.tolist(), ml.tolist()))
         return out
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
@@ -232,7 +260,9 @@ def load_packed(cfg: Config, split: str) -> Optional[PackedDataset]:
     paths = sorted(
         os.path.join(root, f)
         for f in os.listdir(root)
-        if f.startswith(f"{split}_") and f.endswith(".npz")
+        if f.startswith(f"{split}_")
+        and (f.endswith(".npz")                      # legacy compressed
+             or os.path.isdir(os.path.join(root, f)))  # raw mmap shards
     )
     if not paths:
         return None

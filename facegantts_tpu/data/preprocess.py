@@ -14,7 +14,7 @@ reads 5x, lrs2_dataset.py:188-244 — offline we just surface the failure).
 
 Usage:
   python -m facegantts_tpu.data.preprocess split=train lrs2_path=... \
-      packed_data_dir=packed/ [shard_size=512]
+      packed_data_dir=packed/ [shard_size=512] [pack_format=raw|npz]
 """
 
 import os
@@ -78,7 +78,8 @@ def _apply_filters(wav: np.ndarray, cfg: Config) -> np.ndarray:
     return apply_filter_chain(wav, cfg.sample_rate, cfg)
 
 
-def pack_split(cfg: Config, split: str, shard_size: int = 512) -> List[str]:
+def pack_split(cfg: Config, split: str, shard_size: int = 512,
+               pack_format: str = "raw") -> List[str]:
     filelist = {
         "train": cfg.lrs2_train, "val": cfg.lrs2_val, "test": cfg.lrs2_test
     }[split]
@@ -126,10 +127,10 @@ def pack_split(cfg: Config, split: str, shard_size: int = 512) -> List[str]:
         shard["faces"].append(face)
         shard["spk"].append(spk_ids[n.split("/")[0]])
         if len(shard["spk"]) >= shard_size:
-            paths.append(_flush(cfg, split, shard, len(paths)))
+            paths.append(_flush(cfg, split, shard, len(paths), pack_format))
             shard = _new_shard()
     if shard["spk"]:
-        paths.append(_flush(cfg, split, shard, len(paths)))
+        paths.append(_flush(cfg, split, shard, len(paths), pack_format))
     print(f"packed {split}: {len(paths)} shards, {len(spk_ids)} speakers")
     return paths
 
@@ -138,19 +139,29 @@ def _new_shard():
     return {"text": [], "mel": [], "faces": [], "spk": []}
 
 
-def _flush(cfg: Config, split: str, shard, idx: int) -> str:
-    text_offsets = np.cumsum([0] + [len(t) for t in shard["text"]]).astype(np.int64)
-    mel_offsets = np.cumsum([0] + [m.shape[1] for m in shard["mel"]]).astype(np.int64)
-    path = os.path.join(cfg.packed_data_dir, f"{split}_{idx:05d}.npz")
-    np.savez_compressed(
-        path,
+def _flush(cfg: Config, split: str, shard, idx: int,
+           pack_format: str = "raw") -> str:
+    """Write one shard.  ``raw`` (default): a directory of plain .npy
+    members the loader opens with mmap — random item access touches only
+    the pages read, no per-access inflation (numpy NpzFile decompresses a
+    whole member on EVERY [] access).  ``npz``: legacy compressed single
+    file (smaller at rest, materialized once at open)."""
+    members = dict(
         text_flat=np.concatenate(shard["text"]) if shard["text"] else np.zeros(0, np.int32),
-        text_offsets=text_offsets,
+        text_offsets=np.cumsum([0] + [len(t) for t in shard["text"]]).astype(np.int64),
         mel_flat=np.concatenate(shard["mel"], axis=1),
-        mel_offsets=mel_offsets,
+        mel_offsets=np.cumsum([0] + [m.shape[1] for m in shard["mel"]]).astype(np.int64),
         faces=np.stack(shard["faces"]),
         spk_ids=np.asarray(shard["spk"], np.int32),
     )
+    if pack_format == "npz":
+        path = os.path.join(cfg.packed_data_dir, f"{split}_{idx:05d}.npz")
+        np.savez_compressed(path, **members)
+        return path
+    path = os.path.join(cfg.packed_data_dir, f"{split}_{idx:05d}")
+    os.makedirs(path, exist_ok=True)
+    for name, arr in members.items():
+        np.save(os.path.join(path, f"{name}.npy"), arr)
     return path
 
 
@@ -158,10 +169,11 @@ def main(argv=None):
     overrides = parse_cli_overrides(argv if argv is not None else sys.argv[1:])
     split = overrides.pop("split", "train")
     shard_size = int(overrides.pop("shard_size", 512))
+    pack_format = overrides.pop("pack_format", "raw")
     cfg = default_config(overrides=overrides)
     if not cfg.packed_data_dir:
         raise SystemExit("set packed_data_dir=...")
-    pack_split(cfg, split, shard_size)
+    pack_split(cfg, split, shard_size, pack_format)
 
 
 if __name__ == "__main__":

@@ -1,5 +1,7 @@
 """Data pipeline tests: denoiser, bucketing loader, collate, packed format."""
 
+import os
+
 import numpy as np
 
 from facegantts_tpu.config import default_config
@@ -124,3 +126,51 @@ def test_shard_batch_assembles_from_local_rows():
         np.testing.assert_array_equal(
             np.asarray(getattr(placed, field)), getattr(batch, field)
         )
+
+
+def _fake_shard(n=6, n_mels=8, seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "text": [rng.integers(1, 148, rng.integers(5, 20)).astype(np.int32)
+                 for _ in range(n)],
+        "mel": [(rng.standard_normal((n_mels, rng.integers(10, 30))) - 5)
+                .astype(np.float16) for _ in range(n)],
+        "faces": [rng.integers(0, 255, (224, 224, 3)).astype(np.uint8)
+                  for _ in range(n)],
+        "spk": list(range(n)),
+    }
+
+
+def test_packed_shard_raw_and_npz_round_trip(tmp_path):
+    """Both shard formats round-trip identical items through PackedDataset,
+    and load_packed discovers both."""
+    from facegantts_tpu.config import default_config
+    from facegantts_tpu.data.dataset import PackedDataset, load_packed
+    from facegantts_tpu.data.preprocess import _flush
+
+    cfg = default_config(env={}).replace(
+        packed_data_dir=str(tmp_path), n_mels=8
+    )
+    shard = _fake_shard()
+    p_raw = _flush(cfg, "train", shard, 0, "raw")
+    p_npz = _flush(cfg, "val", shard, 0, "npz")
+    assert os.path.isdir(p_raw) and p_npz.endswith(".npz")
+
+    ds_raw = PackedDataset([p_raw], n_mels=8)
+    ds_npz = PackedDataset([p_npz], n_mels=8)
+    assert len(ds_raw) == len(ds_npz) == 6
+    assert ds_raw.lengths() == ds_npz.lengths() == [
+        (len(t), m.shape[1]) for t, m in zip(shard["text"], shard["mel"])
+    ]
+    for i in range(6):
+        a, b = ds_raw[i], ds_npz[i]
+        for k in ("x", "y", "spk"):
+            np.testing.assert_array_equal(a[k], b[k])
+        np.testing.assert_array_equal(a["x"], shard["text"][i])
+        np.testing.assert_array_equal(
+            a["y"], shard["mel"][i].astype(np.float32))
+        assert a["spk_id"] == b["spk_id"] == i
+
+    # discovery: raw dir for train, npz for val
+    assert len(load_packed(cfg, "train")) == 6
+    assert len(load_packed(cfg, "val")) == 6
