@@ -178,7 +178,9 @@ def train(cfg: Config, work_dir: str = "runs/default", max_steps: Optional[int] 
     watchdog = DivergenceWatchdog()
     profiler = StepProfiler(cfg.profile_dir, cfg.profile_start_step, cfg.profile_num_steps)
     step = int(state.step)
-    epoch = 0
+    # resume: continue the epoch/shuffle sequence where the checkpoint
+    # left off instead of replaying epoch 0's data order
+    epoch = step // max(1, len(loader))
     t_last, n_last = time.time(), step
 
     while step < max_steps:

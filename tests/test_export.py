@@ -1,0 +1,45 @@
+"""AOT export bundle tests (facegantts_tpu/export.py): serialized StableHLO
+programs must reproduce the live Synthesizer's outputs exactly."""
+
+import numpy as np
+
+from facegantts_tpu.config import default_config
+from tests.test_train import TINY
+
+
+def test_export_bundle_round_trip(tmp_path):
+    import jax
+
+    from facegantts_tpu.export import export_bundle, load_bundle
+    from facegantts_tpu.synthesis import Synthesizer
+
+    cfg = default_config(env=dict(TINY, use_gan="0", use_bf16="0")).replace(
+        text_buckets=(16,), mel_buckets=(64,),
+    )
+    synth = Synthesizer(cfg)
+    manifest = export_bundle(synth, str(tmp_path))
+    assert manifest["sample_rate"] == cfg.sample_rate
+    assert len(manifest["entries"]) == 1
+
+    m2, fns = load_bundle(str(tmp_path))
+    assert (16, 64) in fns
+
+    ids = np.arange(1, 11, dtype=np.int32)
+    x = np.zeros((1, 16), np.int32)
+    x[0, :10] = ids
+    face = np.zeros((1, 224, 224, 3), np.float32)
+    wav, mel, y_len = fns[(16, 64)](
+        x, np.array([10], np.int32), face, np.int32(7)
+    )
+
+    # live path with the same inputs/seed must agree exactly
+    ref_wav, ref_mel = synth.synthesize(ids, synth.prepare_face(face[0]), seed=7)
+    n = int(jax.device_get(y_len)[0])
+    got = np.clip(np.asarray(wav)[0][: n * cfg.hop_len], -1, 1)
+    assert len(got) == len(ref_wav)
+    np.testing.assert_allclose(got, ref_wav, atol=1e-5)
+    # exported vs live executables differ in fusion/reassociation order:
+    # tolerate float round-off on the ~|10|-magnitude log-mels
+    np.testing.assert_allclose(
+        np.asarray(mel)[0][:, :n], ref_mel, rtol=0, atol=5e-4
+    )
