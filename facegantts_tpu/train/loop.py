@@ -96,6 +96,37 @@ class DivergenceWatchdog:
         return self.streak >= self.patience
 
 
+class GracefulShutdown:
+    """Preemption-safe training (absent in the reference; SLURM just kills
+    it, train.sh): SIGTERM/SIGINT set a flag, the loop checkpoints at the
+    next step boundary and returns cleanly — a preempted TPU job resumes
+    from its final step instead of the last periodic save."""
+
+    def __init__(self):
+        self.requested = False
+        self._old = {}
+
+    def _handle(self, signum, frame):
+        self.requested = True
+
+    def install(self):
+        import signal as _signal
+
+        for sig in (_signal.SIGTERM, _signal.SIGINT):
+            try:
+                self._old[sig] = _signal.signal(sig, self._handle)
+            except ValueError:  # not the main thread (e.g. under a server)
+                break
+        return self
+
+    def restore(self):
+        import signal as _signal
+
+        for sig, old in self._old.items():
+            _signal.signal(sig, old)
+        self._old = {}
+
+
 def warm_start(cfg: Config, state: TrainState) -> TrainState:
     """Load reference torch weights (strict=False, disc-stripped) or resume
     an orbax checkpoint (reference train.py:110-123 falls back to scratch)."""
@@ -125,6 +156,9 @@ def train(cfg: Config, work_dir: str = "runs/default", max_steps: Optional[int] 
     ``cfg.packed_data_dir`` (falling back to synthetic data); tests and
     benchmarks may inject any dataset with the PackedDataset interface."""
     max_steps = max_steps or cfg.max_steps
+    # catch preemption from the very start — a SIGTERM during data/compile
+    # warmup must still produce a clean early exit, not a dead process
+    shutdown = GracefulShutdown().install()
     # multi-host: only process 0 logs/evals (reference gates on
     # trainer.global_rank, custom_callbacks.py:112,141,177,213)
     is_main = jax.process_index() == 0
@@ -199,6 +233,15 @@ def train(cfg: Config, work_dir: str = "runs/default", max_steps: Optional[int] 
                 state, metrics = train_step(state, batch, srng)
             step += 1
 
+            if shutdown.requested:
+                print(f"[INFO] shutdown signal received; checkpointing at "
+                      f"step {step} and exiting")
+                policy.save_step(state, step)
+                policy.close()
+                profiler.close()
+                shutdown.restore()
+                return state
+
             if step % cfg.log_every_n_steps == 0 or step == 1:
                 m = {k: float(v) for k, v in metrics.items()}
                 if watchdog.update(m):
@@ -207,6 +250,7 @@ def train(cfg: Config, work_dir: str = "runs/default", max_steps: Optional[int] 
                     policy.save_step(state, step)
                     policy.close()
                     profiler.close()
+                    shutdown.restore()
                     return state
                 if is_main:
                     dt = time.time() - t_last
@@ -265,4 +309,5 @@ def train(cfg: Config, work_dir: str = "runs/default", max_steps: Optional[int] 
     profiler.close()
     policy.save_step(state, step)
     policy.close()
+    shutdown.restore()
     return state

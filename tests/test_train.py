@@ -369,3 +369,49 @@ def test_gan_pitch_energy_losses():
     assert float(metrics["pitch_loss"]) >= 0.0
     assert float(metrics["energy_loss"]) > 0.0
     assert all(np.isfinite(float(v)) for v in metrics.values()), metrics
+
+
+def test_train_loop_graceful_shutdown(tmp_path):
+    """SIGTERM mid-training -> the loop checkpoints at the next step
+    boundary and returns early (preemption-safe; train/loop.py
+    GracefulShutdown).  The signal is raised deterministically from the
+    loader's item fetch after the first batch has been consumed."""
+    import os
+    import signal
+
+    from facegantts_tpu.data.dataset import SyntheticDataset
+    from facegantts_tpu.train.loop import train
+
+    n_dev = len(jax.devices())
+    global_batch = 2 * n_dev
+
+    class PreemptingDataset(SyntheticDataset):
+        """Sends SIGTERM to this process once enough items for the second
+        batch have been fetched."""
+
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            self.fetched = 0
+
+        def __getitem__(self, idx):
+            self.fetched += 1
+            if self.fetched == global_batch + 1:
+                os.kill(os.getpid(), signal.SIGTERM)
+            return super().__getitem__(idx)
+
+    work = str(tmp_path / "run")
+    cfg = default_config(env=dict(
+        TINY, use_gan="0",
+        batch_size=str(global_batch), num_gpus=str(n_dev),
+        text_buckets="64", mel_buckets="64",
+        eval_interval="0", save_step="1000", log_every_n_steps="1000",
+    ))
+    train_ds = PreemptingDataset(n_items=8 * global_batch, n_mels=cfg.n_mels)
+    val_ds = SyntheticDataset(n_items=global_batch, n_mels=cfg.n_mels, seed=1)
+    old = signal.getsignal(signal.SIGTERM)
+    state = train(cfg, work_dir=work, max_steps=1000,
+                  train_ds=train_ds, val_ds=val_ds)
+    # handler restored, loop exited far before max_steps, checkpoint saved
+    assert signal.getsignal(signal.SIGTERM) is old
+    assert 1 <= int(state.step) <= 4
+    assert os.listdir(os.path.join(work, "last"))
