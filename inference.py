@@ -65,8 +65,22 @@ def main(argv=None):
         else:
             print(f"[WARN] {test_dir} not found; falling back to test_txt sentences")
 
-    # sentences from test_txt with the chosen face (all modes)
-    face = load_face(cfg.test_faceimg, cfg.image_size)
+    # sentences from test_txt with the chosen face.  Mode "other": the face
+    # comes from the first dataset clip (reference inference.py:88-158's
+    # non-custom branch uses a dataset face); modes 1/2 use test_faceimg.
+    face = None
+    if cfg.use_custom not in (1, 2):
+        from facegantts_tpu.data.dataset import load_packed
+
+        ds = load_packed(cfg, "test") or load_packed(cfg, "val")
+        if ds is not None and len(ds):
+            face = ds[0]["spk"]  # (224,224,3) float32 BGR 0..255
+            print("######## Using the first dataset clip's face")
+        else:
+            print("[WARN] no packed dataset for a dataset face; "
+                  "falling back to test_faceimg")
+    if face is None:
+        face = load_face(cfg.test_faceimg, cfg.image_size)
     if os.path.exists(cfg.test_txt):
         with open(cfg.test_txt) as f:
             texts = [ln.strip() for ln in f if ln.strip()]

@@ -36,3 +36,38 @@ def test_usage_errors_are_clean():
         )
         assert proc.returncode != 0, (mod, proc.stdout)
         assert "Traceback" not in proc.stderr, (mod, proc.stderr[-800:])
+
+
+def test_inference_dataset_face_mode(tmp_path):
+    """use_custom=0 (neither custom mode): the synthesis face comes from the
+    first packed dataset clip (reference inference.py's non-custom branch)."""
+    import numpy as np
+
+    import inference
+    from facegantts_tpu.config import default_config
+    from facegantts_tpu.data.preprocess import _flush
+    from tests.test_train import TINY
+
+    rng = np.random.default_rng(0)
+    shard = {
+        "text": [rng.integers(1, 148, 10).astype(np.int32)],
+        "mel": [(rng.standard_normal((128, 20)) - 5).astype(np.float16)],
+        "faces": [rng.integers(0, 255, (224, 224, 3)).astype(np.uint8)],
+        "spk": [0],
+    }
+    packed = tmp_path / "packed"
+    packed.mkdir()
+    cfg0 = default_config(env={}).replace(packed_data_dir=str(packed))
+    _flush(cfg0, "test", shard, 0, "raw")
+    txt = tmp_path / "text.txt"
+    txt.write_text("hello world\n")
+    out = tmp_path / "out"
+
+    argv = [f"{k}={v}" for k, v in dict(
+        TINY, use_gan="0", use_bf16="0", use_custom="0",
+        packed_data_dir=str(packed), test_txt=str(txt),
+        output_dir=str(out), text_buckets="32", mel_buckets="64",
+    ).items()]
+    inference.main(argv)
+    wavs = [f for f in out.iterdir() if f.suffix == ".wav"]
+    assert len(wavs) == 1
