@@ -387,21 +387,33 @@ def make_gan_train_step(cfg: Config, mesh: Optional[Mesh] = None):
         else:
             _, real_logits = disc.apply({"params": disc_params}, y_real[..., None])
             r1 = 0.0
-        _, fake_logits = disc.apply({"params": disc_params}, fake[..., None])
+        fake_fmap, fake_logits = disc.apply({"params": disc_params}, fake[..., None])
         d_loss = up(_disc_loss(loss_type, real_logits, fake_logits))
         acc = up(_disc_accuracy(loss_type, real_logits, fake_logits))
         if use_r1:
             d_loss = d_loss + cfg.r1_gamma * 0.5 * r1
-        return d_loss, {"disc_acc": acc, "r1_penalty": r1}
+        # The fake logits/feature-maps are returned for the G phase: with the
+        # default no-grad sampler the reference's adv/fm terms carry NO
+        # generator gradient (@torch.no_grad forward, face_tts.py:92), and
+        # both phases see the same pre-update disc params, so the G-phase
+        # discriminator forward on the same fake would recompute exactly
+        # these values.  Handing them over makes the dedup explicit instead
+        # of relying on XLA CSE across two independent grad traces.
+        return d_loss, ({"disc_acc": acc, "r1_penalty": r1},
+                        (fake_logits, fake_fmap))
 
-    def g_loss_fn(params, model_state, disc_params, mb: Batch, fake, rng, train_disc: bool):
+    def g_loss_fn(params, model_state, disc_params, mb: Batch, fake, rng,
+                  train_disc: bool, reuse=None):
         if cfg.adv_grad_through_sampler:
             rng, rng_s = jax.random.split(rng)
             fake = sample_fake(params, model_state, mb, rng_s)
         fake = down(fake)
         disc_params_c = down(disc_params)
         if train_disc:
-            fake_fmap, fake_logits = disc.apply({"params": disc_params_c}, fake[..., None])
+            if reuse is not None:
+                fake_logits, fake_fmap = jax.lax.stop_gradient(reuse)
+            else:
+                fake_fmap, fake_logits = disc.apply({"params": disc_params_c}, fake[..., None])
             adv = up(_gen_adv_loss(loss_type, fake_logits))
         else:
             fake_fmap, adv = None, jnp.zeros(())
@@ -483,23 +495,29 @@ def make_gan_train_step(cfg: Config, mesh: Optional[Mesh] = None):
             rng_fake, rng_g = jax.random.split(mrng)
             fake = sample_fake(params, model_state, mb, rng_fake)  # no G grad
             metrics = {}
+            reuse = None
             if train_disc:
-                (d_loss, d_m), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
-                    disc_params, mb.y, fake, use_r1
-                )
+                (d_loss, (d_m, d_reuse)), d_grads = jax.value_and_grad(
+                    d_loss_fn, has_aux=True
+                )(disc_params, mb.y, fake, use_r1)
                 ok = jnp.isfinite(d_loss)
                 d_grads = jax.tree.map(lambda g: jnp.where(ok, g, 0.0), d_grads)
                 d_acc = jax.tree.map(jnp.add, d_acc, d_grads)
                 metrics.update(d_m)
                 metrics["d_loss"] = jnp.where(ok, d_loss, 0.0)
                 metrics["d_nan_skipped"] = (~ok).astype(jnp.float32)
+                # with grad-through-sampler the G phase resamples its own
+                # fake, so the D-phase logits are for a different tensor
+                if not cfg.adv_grad_through_sampler:
+                    reuse = d_reuse
             else:
                 metrics["d_loss"] = jnp.zeros(())
                 metrics["disc_acc"] = jnp.zeros(())
                 metrics["r1_penalty"] = jnp.zeros(())
                 metrics["d_nan_skipped"] = jnp.zeros(())
             (_, g_m), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
-                params, model_state, disc_params, mb, fake, rng_g, train_disc
+                params, model_state, disc_params, mb, fake, rng_g, train_disc,
+                reuse
             )
             g_acc = jax.tree.map(jnp.add, g_acc, g_grads)
             metrics.update(g_m)

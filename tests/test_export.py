@@ -17,7 +17,12 @@ def test_export_bundle_round_trip(tmp_path):
         text_buckets=(16,), mel_buckets=(64,),
     )
     synth = Synthesizer(cfg)
-    manifest = export_bundle(synth, str(tmp_path))
+    # Export explicitly for the platform this test executes on: without it,
+    # jax.export lowers for the ambient default backend — which is the axon
+    # TPU plugin when the tunnel is up, even though the test harness pins
+    # execution to CPU via jax.default_device — and the exported program
+    # then refuses to run on 'cpu'.
+    manifest = export_bundle(synth, str(tmp_path), platforms=("cpu",))
     assert manifest["sample_rate"] == cfg.sample_rate
     assert len(manifest["entries"]) == 1
 
