@@ -25,7 +25,8 @@ import numpy as np
 
 from facegantts_tpu.config import Config, default_config, parse_cli_overrides
 from facegantts_tpu.data.denoise import fade_out, spectral_gate
-from facegantts_tpu.text import CMUDict, intersperse, text_to_sequence
+from facegantts_tpu.text import intersperse, text_to_sequence
+from facegantts_tpu.text.cmudict import default_cmudict
 from facegantts_tpu.utils.audio import load_wav
 
 
@@ -91,7 +92,7 @@ def pack_split(cfg: Config, split: str, shard_size: int = 512,
     for n in names:  # speaker dir -> integer id (lrs2_dataset.py:50-56)
         spk_ids.setdefault(n.split("/")[0], len(spk_ids))
 
-    cmu = CMUDict(cfg.cmudict_path) if os.path.exists(cfg.cmudict_path) else None
+    cmu = default_cmudict(cfg.cmudict_path)
     rng = np.random.default_rng(cfg.seed)
     os.makedirs(cfg.packed_data_dir, exist_ok=True)
 

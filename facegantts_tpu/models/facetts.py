@@ -242,9 +242,15 @@ class FaceTTS(nn.Module):
         # NOT detached: gradients flow into the SyncNet image stream exactly
         # like the reference (face_tts.py:148-157); which parameters actually
         # update is decided by the optimizer partition (train/optim.py).
-        spk_img = self.syncnet.forward_vid(spk)
-        spk_aud = jnp.mean(self.syncnet.forward_aud(y[..., None]), axis=1)
-        spk_e = spk_aud if self.spk_emb == "speech" else spk_img
+        # Only the SELECTED branch is built: the reference computes both
+        # embeddings and discards one (face_tts.py:148-155) — numerically
+        # identical, but skipping the dead branch keeps the fixed 224x224
+        # image trunk out of speech-mode programs entirely (and lets
+        # speech-mode batches carry a mel clip in `spk` instead of a face).
+        if self.spk_emb == "speech":
+            spk_e = jnp.mean(self.syncnet.forward_aud(y[..., None]), axis=1)
+        else:
+            spk_e = self.syncnet.forward_vid(spk)
 
         mu_x, logw, x_mask = self.encoder(
             x, x_lengths, spk_e, deterministic=deterministic

@@ -310,7 +310,7 @@ def main(argv=None):
     cfg = default_config(overrides=overrides)
 
     from facegantts_tpu.synthesis import load_face
-    from facegantts_tpu.text import CMUDict
+    from facegantts_tpu.text.cmudict import default_cmudict
     from facegantts_tpu.train import checkpoint as ck
 
     params = None
@@ -322,7 +322,7 @@ def main(argv=None):
             p, stats = ck.import_facetts(cfg.resume_from)
             params = {"params": p, "batch_stats": stats}
     vocoder_params = ck.import_hifigan(vocoder_ckpt) if vocoder_ckpt else None
-    cmu = CMUDict(cfg.cmudict_path) if os.path.exists(cfg.cmudict_path) else None
+    cmu = default_cmudict(cfg.cmudict_path)
     face = (
         load_face(cfg.test_faceimg, cfg.image_size)
         if os.path.exists(cfg.test_faceimg)

@@ -23,7 +23,7 @@ def main(argv=None):
     cfg = default_config(overrides=overrides)
 
     from facegantts_tpu.synthesis import Synthesizer, load_face
-    from facegantts_tpu.text import CMUDict
+    from facegantts_tpu.text.cmudict import default_cmudict
     from facegantts_tpu.train import checkpoint as ck
     from facegantts_tpu.utils.audio import save_wav
 
@@ -37,7 +37,7 @@ def main(argv=None):
             params = {"params": p, "batch_stats": stats}
     vocoder_params = ck.import_hifigan(vocoder_ckpt) if vocoder_ckpt else None
 
-    cmu = CMUDict(cfg.cmudict_path) if os.path.exists(cfg.cmudict_path) else None
+    cmu = default_cmudict(cfg.cmudict_path)
     synth = Synthesizer(cfg, params=params, vocoder_params=vocoder_params, cmudict=cmu)
 
     out_dir = cfg.output_dir

@@ -78,7 +78,7 @@ def main(argv=None):
     cfg = default_config(overrides=overrides)
 
     from facegantts_tpu.synthesis import Synthesizer, load_face
-    from facegantts_tpu.text import CMUDict
+    from facegantts_tpu.text.cmudict import default_cmudict
     from facegantts_tpu.train import checkpoint as ck
     from facegantts_tpu.utils.audio import save_wav
 
@@ -94,7 +94,7 @@ def main(argv=None):
         params = {"params": p, "batch_stats": stats}
     vocoder_params = ck.import_hifigan(vocoder_ckpt) if vocoder_ckpt else None
 
-    cmu = CMUDict(cfg.cmudict_path) if os.path.exists(cfg.cmudict_path) else None
+    cmu = default_cmudict(cfg.cmudict_path)
     # f32 path for bit-level comparability (use_bf16=0); the reference
     # recipe values are cfg defaults: timesteps=10, temperature=1.5,
     # length_scale=0.91, stoc=False (inference.py:125-133)
