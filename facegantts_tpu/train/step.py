@@ -71,32 +71,40 @@ def build_models(cfg: Config):
 
 
 def init_state(cfg: Config, rng: jax.Array, batch: Batch) -> TrainState:
-    """Initialize parameters and optimizer states from one example batch."""
+    """Initialize parameters and optimizer states from one example batch.
+
+    Runs under jit: eager op-by-op dispatch of the full loss graph takes
+    minutes on small hosts, while one compiled (and persistently cached)
+    init program is cheap and reproducible."""
     model, disc = build_models(cfg)
-    rng_p, rng_l, rng_d = jax.random.split(rng, 3)
-    variables = model.init(
-        rng_p, rng_l, batch.x, batch.x_len, batch.y, batch.y_len, batch.spk,
-        cfg.out_size, method=FaceTTS.compute_loss,
-    )
-    params = variables["params"]
-    model_state = {k: v for k, v in variables.items() if k != "params"}
-    if cfg.use_gan:
-        disc_params = disc.init(rng_d, batch.y[..., None])["params"]
-        gen_tx = build_gan_generator_optimizer(cfg, params)
-        disc_tx = build_discriminator_optimizer(cfg)
-        return TrainState(
-            step=jnp.zeros((), jnp.int32),
-            params=params,
-            opt_state=gen_tx.init(params),
-            model_state=model_state,
-            disc_params=disc_params,
-            disc_opt_state=disc_tx.init(disc_params),
+
+    def _init(rng: jax.Array) -> TrainState:
+        rng_p, rng_l, rng_d = jax.random.split(rng, 3)
+        variables = model.init(
+            rng_p, rng_l, batch.x, batch.x_len, batch.y, batch.y_len,
+            batch.spk, cfg.out_size, method=FaceTTS.compute_loss,
         )
-    gen_tx = build_generator_optimizer(cfg, params)
-    return TrainState(
-        step=jnp.zeros((), jnp.int32), params=params,
-        opt_state=gen_tx.init(params), model_state=model_state,
-    )
+        params = variables["params"]
+        model_state = {k: v for k, v in variables.items() if k != "params"}
+        if cfg.use_gan:
+            disc_params = disc.init(rng_d, batch.y[..., None])["params"]
+            gen_tx = build_gan_generator_optimizer(cfg, params)
+            disc_tx = build_discriminator_optimizer(cfg)
+            return TrainState(
+                step=jnp.zeros((), jnp.int32),
+                params=params,
+                opt_state=gen_tx.init(params),
+                model_state=model_state,
+                disc_params=disc_params,
+                disc_opt_state=disc_tx.init(disc_params),
+            )
+        gen_tx = build_generator_optimizer(cfg, params)
+        return TrainState(
+            step=jnp.zeros((), jnp.int32), params=params,
+            opt_state=gen_tx.init(params), model_state=model_state,
+        )
+
+    return jax.jit(_init)(rng)
 
 
 # --------------------------------------------------------------------------
@@ -394,11 +402,15 @@ def make_gan_train_step(cfg: Config, mesh: Optional[Mesh] = None):
             d_loss = d_loss + cfg.r1_gamma * 0.5 * r1
         # The fake logits/feature-maps are returned for the G phase: with the
         # default no-grad sampler the reference's adv/fm terms carry NO
-        # generator gradient (@torch.no_grad forward, face_tts.py:92), and
-        # both phases see the same pre-update disc params, so the G-phase
-        # discriminator forward on the same fake would recompute exactly
-        # these values.  Handing them over makes the dedup explicit instead
-        # of relying on XLA CSE across two independent grad traces.
+        # generator gradient (@torch.no_grad forward, face_tts.py:92).  In
+        # THIS repo's single-fused-step semantics both phases see the same
+        # pre-update disc params and the same fake, so the G-phase forward
+        # would recompute exactly these values — handing them over makes the
+        # dedup explicit instead of relying on XLA CSE across two grad
+        # traces.  NOTE this intentionally deviates from the reference,
+        # which steps opt_disc BEFORE its G phase and resamples a fresh fake
+        # (face_tts_w_discriminator.py:210,243) — its G-phase logits come
+        # from post-update disc params, not these.
         return d_loss, ({"disc_acc": acc, "r1_penalty": r1},
                         (fake_logits, fake_fmap))
 
@@ -515,12 +527,19 @@ def make_gan_train_step(cfg: Config, mesh: Optional[Mesh] = None):
                 metrics["disc_acc"] = jnp.zeros(())
                 metrics["r1_penalty"] = jnp.zeros(())
                 metrics["d_nan_skipped"] = jnp.zeros(())
-            (_, g_m), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            (g_loss, g_m), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
                 params, model_state, disc_params, mb, fake, rng_g, train_disc,
                 reuse
             )
+            # mirror the D-phase non-finite guard (reference NaN/Inf skip,
+            # face_tts_w_discriminator.py:203-205, applies to BOTH phases):
+            # a non-finite G loss contributes zero grads instead of
+            # poisoning the whole accumulation
+            ok_g = jnp.isfinite(g_loss)
+            g_grads = jax.tree.map(lambda g: jnp.where(ok_g, g, 0.0), g_grads)
             g_acc = jax.tree.map(jnp.add, g_acc, g_grads)
             metrics.update(g_m)
+            metrics["g_nan_skipped"] = (~ok_g).astype(jnp.float32)
             return (d_acc, g_acc), metrics
 
         (d_grads, g_grads), metrics = jax.lax.scan(
