@@ -98,12 +98,14 @@ class SyntheticDataset:
     90..870 frames (1.3s minimum clip per lrs2 filtering), 224x224 faces."""
 
     def __init__(self, n_items: int = 512, n_mels: int = 128, seed: int = 0,
-                 min_frames: int = 90, max_frames: int = 560):
+                 min_frames: int = 90, max_frames: int = 560,
+                 spk_mode: str = "face"):
         rng = np.random.default_rng(seed)
         self.n_mels = n_mels
         self._tlen = rng.integers(30, 180, n_items)
         self._mlen = rng.integers(min_frames, max_frames, n_items)
         self._seed = seed
+        self.spk_mode = spk_mode  # "face" (224x224x3) | "speech" (mel clip)
 
     def __len__(self):
         return len(self._tlen)
@@ -113,10 +115,14 @@ class SyntheticDataset:
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         rng = np.random.default_rng(self._seed * 100003 + idx)
+        if self.spk_mode == "speech":
+            spk = (rng.standard_normal((self.n_mels, self._mlen[idx])) - 5.0)
+        else:
+            spk = rng.integers(0, 255, (224, 224, 3))
         return {
             "x": rng.integers(1, 148, self._tlen[idx]).astype(np.int32),
             "y": (rng.standard_normal((self.n_mels, self._mlen[idx])) - 5.0).astype(np.float32),
-            "spk": (rng.integers(0, 255, (224, 224, 3))).astype(np.float32),
+            "spk": spk.astype(np.float32),
             "spk_id": int(rng.integers(0, 100)),
         }
 
@@ -128,7 +134,14 @@ def collate(items: List[Dict[str, np.ndarray]], tx_bucket: int, ty_bucket: int) 
     n_mels = items[0]["y"].shape[0]
     x = np.zeros((b, tx_bucket), np.int32)
     y = np.zeros((b, n_mels, ty_bucket), np.float32)
-    spk = np.zeros((b, 224, 224, 3), np.float32)
+    # spk carries the conditioning input: a 224x224x3 face frame (spk_emb=
+    # face, the reference's lrs2_dataset.py:188-244 video frame) or a 2-D
+    # (n_mels, T) mel clip (spk_emb=speech, reference face_tts.py:108-114),
+    # zero-padded to the same static ty bucket as y
+    if items[0]["spk"].ndim == 2:
+        spk = np.zeros((b, n_mels, ty_bucket), np.float32)
+    else:
+        spk = np.zeros((b, 224, 224, 3), np.float32)
     x_len = np.zeros(b, np.int32)
     y_len = np.zeros(b, np.int32)
     for i, it in enumerate(items):
@@ -136,7 +149,11 @@ def collate(items: List[Dict[str, np.ndarray]], tx_bucket: int, ty_bucket: int) 
         ml = min(it["y"].shape[1], ty_bucket)
         x[i, :tl] = it["x"][:tl]
         y[i, :, :ml] = it["y"][:, :ml]
-        spk[i] = it["spk"]
+        if it["spk"].ndim == 2:
+            sl = min(it["spk"].shape[1], ty_bucket)
+            spk[i, :, :sl] = it["spk"][:, :sl]
+        else:
+            spk[i] = it["spk"]
         x_len[i], y_len[i] = tl, ml
     # host (numpy) leaves: the single host->device transfer happens in
     # parallel/mesh.shard_batch (or implicitly at the jit boundary), not

@@ -1,19 +1,23 @@
 """Test harness: run all tests on a virtual 8-device CPU mesh.
 
 XLA flags must be set before JAX initializes (SURVEY.md §4: distributed tests
-without TPUs via xla_force_host_platform_device_count).  Note: on the axon
-TPU tunnel, JAX_PLATFORMS=cpu does NOT switch the default platform, so tests
-additionally pin the CPU backend via jax.default_device (autouse fixture);
-sharding tests build meshes from jax.devices('cpu') explicitly.
+without TPUs via xla_force_host_platform_device_count).
+
+CRITICAL platform note: this image's site hook PRE-IMPORTS jax at interpreter
+startup with the config already set to ``jax_platforms="axon,cpu"`` — so
+setting the JAX_PLATFORMS *env var* here is a NO-OP (the config value, fixed
+at import time, wins) and the TPU-tunnel plugin stays the DEFAULT platform.
+Any test array/dispatch not explicitly pinned to CPU then goes through the
+tunnel, and when the tunnel flaps the op blocks forever (observed: a plain
+``mu[1, 2:]`` slice stuck >5 min inside ``_array_shard_arg`` — the round-2
+"full suite never finishes" failure).  The backend, however, is NOT yet
+initialized at startup, so ``jax.config.update("jax_platforms", "cpu")``
+below still excludes the axon plugin entirely; tests never touch the tunnel.
 """
 
 import os
 import sys
 
-# The axon TPU-tunnel plugin DEADLOCKS multi-device CPU executions on this
-# host; tests must run pure-CPU.  Strip it from the path and force the CPU
-# platform before any JAX backend initializes.
-os.environ["JAX_PLATFORMS"] = "cpu"
 sys.path[:] = [p for p in sys.path if ".axon_site" not in p]
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -37,6 +41,11 @@ os.environ["XLA_FLAGS"] = flags.strip()
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# Pure-CPU platform, via CONFIG (see module docstring: the env var is dead
+# on this image because jax is pre-imported at startup).  Must run before
+# the first jax.devices()/dispatch anywhere in the test session.
+jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: XLA-CPU compiles of the big conv graphs take
 # minutes on this 1-core host; cache them across test runs.

@@ -64,7 +64,7 @@ def test_inference_dataset_face_mode(tmp_path):
     out = tmp_path / "out"
 
     argv = [f"{k}={v}" for k, v in dict(
-        TINY, use_gan="0", use_bf16="0", use_custom="0",
+        TINY, use_gan="0", use_bf16="0", use_custom="0", spk_emb="face",
         packed_data_dir=str(packed), test_txt=str(txt),
         output_dir=str(out), text_buckets="32", mel_buckets="64",
     ).items()]

@@ -2,9 +2,14 @@
 programs must reproduce the live Synthesizer's outputs exactly."""
 
 import numpy as np
+import pytest
 
 from facegantts_tpu.config import default_config
 from tests.test_train import TINY
+
+
+# slow tier: export lowering + bundle round-trip compile (~90 s)
+pytestmark = pytest.mark.slow
 
 
 def test_export_bundle_round_trip(tmp_path):
@@ -13,7 +18,9 @@ def test_export_bundle_round_trip(tmp_path):
     from facegantts_tpu.export import export_bundle, load_bundle
     from facegantts_tpu.synthesis import Synthesizer
 
-    cfg = default_config(env=dict(TINY, use_gan="0", use_bf16="0")).replace(
+    # spk_emb=face: this test synthesizes from a face image (TINY defaults to
+    # the cheaper speech conditioning for train-step tests)
+    cfg = default_config(env=dict(TINY, use_gan="0", use_bf16="0", spk_emb="face")).replace(
         text_buckets=(16,), mel_buckets=(64,),
     )
     synth = Synthesizer(cfg)
@@ -25,6 +32,10 @@ def test_export_bundle_round_trip(tmp_path):
     manifest = export_bundle(synth, str(tmp_path), platforms=("cpu",))
     assert manifest["sample_rate"] == cfg.sample_rate
     assert len(manifest["entries"]) == 1
+    # the manifest must faithfully record the lowering targets (the
+    # production default platforms=None records the ambient backend — a
+    # regression there would show up as a wrong/missing entry here)
+    assert manifest["entries"][0]["platforms"] == ["cpu"]
 
     m2, fns = load_bundle(str(tmp_path))
     assert (16, 64) in fns

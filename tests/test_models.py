@@ -64,6 +64,7 @@ def test_rel_pos_forms_agree(keys):
         )
 
 
+@pytest.mark.slow
 def test_unet_shapes(keys):
     net = GradLogPEstimator2d(dim=16, n_feats=32, spk_emb_dim=8)
     b, f, t = 2, 32, 16
@@ -81,6 +82,7 @@ def test_unet_shapes(keys):
     np.testing.assert_array_equal(np.asarray(out2[:, :, 8:]), 0.0)
 
 
+@pytest.mark.slow
 def test_diffusion_loss_and_sampler(keys):
     dec = Diffusion(n_feats=32, dim=16, spk_emb_dim=8)
     b, f, t = 2, 32, 16
@@ -148,6 +150,7 @@ def tiny_facetts():
     return model, params, (x, xl, y, yl, face)
 
 
+@pytest.mark.slow
 def test_facetts_compute_loss(tiny_facetts):
     model, params, (x, xl, y, yl, face) = tiny_facetts
     parts, aux = model.apply(
@@ -176,6 +179,7 @@ def test_facetts_forward(tiny_facetts):
     assert np.isfinite(np.asarray(dec)).all()
 
 
+@pytest.mark.slow
 def test_facetts_forward_speech_conditioning(tiny_facetts):
     """spk_emb=speech: inference conditions on a reference mel clip through
     the SyncNet audio stream (reference face_tts.py:108-114) instead of a

@@ -18,6 +18,10 @@ TINY = [
 ]
 
 
+# slow tier: subprocess runs re-compile the synthesis pipeline (~110 s)
+pytestmark = pytest.mark.slow
+
+
 def _run_script(args):
     argv_backup = sys.argv[:]
     sys.argv = ["parity_check.py"] + args

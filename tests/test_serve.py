@@ -17,13 +17,17 @@ from facegantts_tpu.serve import SynthesisService, make_server, wav_bytes
 from tests.test_train import TINY
 
 
+# slow tier: each test compiles full synthesis programs (~75 s setup on this host)
+pytestmark = pytest.mark.slow
+
+
 @pytest.fixture(scope="module")
 def server():
     # use_bf16=0: the streaming-parity test below asserts 1-LSB agreement
     # between /synthesize and /synthesize_stream, which needs both paths
     # on the f32 pipeline (bf16 tiling parity is covered, with a looser
     # tolerance, in tests/test_synthesis.py)
-    cfg = default_config(env=dict(TINY, use_gan="0", use_bf16="0")).replace(
+    cfg = default_config(env=dict(TINY, use_gan="0", use_bf16="0", spk_emb="face")).replace(
         text_buckets=(16,), mel_buckets=(64,),
     )
     service = SynthesisService(cfg)

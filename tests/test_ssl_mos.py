@@ -63,6 +63,7 @@ def _export_state_dict(w2v, head):
     return sd
 
 
+@pytest.mark.slow
 def test_utmos_strong_import_parity():
     """Torch replica and imported JAX model agree on MOS outputs."""
     from facegantts_tpu.evaluation.ssl_mos import (

@@ -4,6 +4,7 @@ order and lengths."""
 
 import jax
 import numpy as np
+import pytest
 
 from facegantts_tpu.config import default_config
 from tests.test_train import TINY
@@ -12,12 +13,15 @@ from tests.test_train import TINY
 def tiny_synth(use_bf16="0"):
     from facegantts_tpu.synthesis import Synthesizer
 
-    cfg = default_config(env=dict(TINY, use_gan="0", use_bf16=use_bf16)).replace(
+    # spk_emb=face: the Synthesizer tests condition on a face image (TINY
+    # defaults to the cheaper speech conditioning for train-step tests)
+    cfg = default_config(env=dict(TINY, use_gan="0", use_bf16=use_bf16, spk_emb="face")).replace(
         text_buckets=(16,), mel_buckets=(64,),
     )
     return Synthesizer(cfg), cfg
 
 
+@pytest.mark.slow
 def test_fused_path_matches_split_path():
     synth, cfg = tiny_synth()
     ids = np.arange(1, 11, dtype=np.int32)
@@ -42,6 +46,7 @@ def test_duration_cache_keys_on_face_identity():
     assert len(synth._ty_cache) == 2
 
 
+@pytest.mark.slow
 def test_duration_cache_content_keyed_numpy_faces():
     """Numpy faces (no prepare_face) must HIT the content-keyed cache on
     repeat calls instead of growing one pinned entry per call; the cache
@@ -85,6 +90,7 @@ def test_speech_conditioned_synthesis():
     assert np.abs(m_a[:, :t] - m_b[:, :t]).max() > 1e-4
 
 
+@pytest.mark.slow
 def test_synthesize_batch_order_and_lengths():
     synth, cfg = tiny_synth()
     face = np.zeros((224, 224, 3), np.float32)
@@ -101,6 +107,7 @@ def test_synthesize_batch_order_and_lengths():
     assert abs(len(w_single) - len(wavs[0])) <= cfg.hop_len
 
 
+@pytest.mark.slow
 def test_synthesize_batch_data_parallel_mesh():
     """Meshed synthesize_batch shards each bucket dispatch over the data
     axis and matches the unmeshed output exactly when the batch divides
@@ -130,6 +137,7 @@ def test_synthesize_batch_data_parallel_mesh():
         assert len(w) > 0 and np.isfinite(w).all()
 
 
+@pytest.mark.slow
 def test_stream_vocode_exact_vs_full():
     """Tiled vocoding must reproduce the full-signal vocoder output exactly
     (up to executable-level float reassociation): the window margin is the
@@ -165,6 +173,7 @@ def test_stream_vocode_short_signal_single_call():
     assert len(chunks) == 1 and len(chunks[0]) == 40 * cfg.hop_len
 
 
+@pytest.mark.slow
 def test_synthesize_streaming_matches_vocode_of_same_mel():
     synth, cfg = tiny_synth()
     ids = np.arange(1, 11, dtype=np.int32)
@@ -185,6 +194,7 @@ def test_synthesize_streaming_matches_vocode_of_same_mel():
     np.testing.assert_allclose(got[:-m], wav[:-m], atol=2e-5)
 
 
+@pytest.mark.slow
 def test_streaming_bf16_consistent_with_fused_path():
     """Under cfg.use_bf16 (the serving default) the streaming decode must
     draw the SAME bf16 diffusion noise as the fused path — outputs agree up
