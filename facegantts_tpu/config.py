@@ -196,6 +196,12 @@ class Config:
     checkpoint_dir: str = "checkpoints"
     keep_top_k: int = 3  # metric-ranked top-k on val total_loss (train.py:48-60)
     snapshot_epochs: Tuple[int, ...] = (0, 96)  # SaveEpochZero/SaveEpoch96
+    # which metric ranks checkpoints (min is better for all supported keys):
+    # "total_loss" (epoch-end val loss, the reference ModelCheckpoint
+    # monitor, train.py:48-60) or an in-train eval key such as
+    # "Composite Metric" (the reference StepwiseEval ranking,
+    # evaluation/eval.py:229-253) — ranked saves then fire at eval intervals
+    checkpoint_monitor: str = "total_loss"
     #                       (reference custom_callbacks.py:110-127,288-304)
 
     # -- inference -------------------------------------------------------------

@@ -66,6 +66,38 @@ def build_syncnet_apply(cfg: Config):
     return apply
 
 
+def score_wav_pair(gen: np.ndarray, ref: np.ndarray, cfg: Config,
+                   syncnet_apply, mos) -> Dict[str, float]:
+    """Score ONE (generated, ground-truth) waveform pair with the full
+    offline protocol (reference eval.py:186-218): SyncNet speaker similarity
+    on mels, log-F0 RMSE per ``cfg.f0_protocol``, MCD, LSD, predicted MOS.
+
+    Shared by the offline CLI (:func:`evaluate_pairs`) and the in-training
+    evaluator (evaluation/intrain.py), so checkpoint ranking mid-training
+    uses the SAME metric definitions as the reference's eval subprocess
+    (custom_callbacks.py:57-92 runs evaluation/eval.py in-train)."""
+    _, sim = M.speaker_similarity(syncnet_apply, _mel(ref, cfg), _mel(gen, cfg))
+    if cfg.f0_protocol == "world":
+        # reference protocol: dio+stonemask F0, fastdtw on mel-cepstra
+        # (eval.py:49-79) — absolute values comparable with reference
+        from facegantts_tpu.evaluation.world import world_log_f0_rmse
+
+        f0 = world_log_f0_rmse(ref, gen, cfg.sample_rate)
+    elif cfg.f0_protocol == "pyin":
+        # the reference's *extractor* protocol (C10, librosa.pyin via
+        # evaluation/pyin.py) with the repo's DTW alignment
+        f0 = M.log_f0_rmse(ref, gen, cfg.sample_rate, estimator="pyin")
+    else:  # "yin": faster estimator, same alignment structure
+        f0 = M.log_f0_rmse(ref, gen, cfg.sample_rate)
+    return {
+        "sim": float(sim),
+        "f0": float(f0),
+        "mcd": float(M.mcd(ref, gen, cfg.sample_rate)),
+        "lsd": float(M.log_spectral_distance(ref, gen, cfg.n_fft, cfg.hop_len)),
+        "mos": float(mos(gen, cfg.sample_rate)),
+    }
+
+
 def evaluate_pairs(
     gen_dir: str, gt_dir: str, cfg: Config, max_files: Optional[int] = None
 ) -> Dict[str, float]:
@@ -87,25 +119,12 @@ def evaluate_pairs(
         n_paired += 1
         gen, sr_g = load_wav(gw)
         ref, sr_r = load_wav(gt)
-        _, sim = M.speaker_similarity(syncnet_apply, _mel(ref, cfg), _mel(gen, cfg))
-        sims.append(sim)
-        if cfg.f0_protocol == "world":
-            # reference protocol: dio+stonemask F0, fastdtw on mel-cepstra
-            # (eval.py:49-79) — absolute values comparable with reference
-            from facegantts_tpu.evaluation.world import world_log_f0_rmse
-
-            f0s.append(world_log_f0_rmse(ref, gen, cfg.sample_rate))
-        elif cfg.f0_protocol == "pyin":
-            # the reference's *extractor* protocol (C10, librosa.pyin via
-            # evaluation/pyin.py) with the repo's DTW alignment
-            f0s.append(
-                M.log_f0_rmse(ref, gen, cfg.sample_rate, estimator="pyin")
-            )
-        else:  # "yin": faster estimator, same alignment structure
-            f0s.append(M.log_f0_rmse(ref, gen, cfg.sample_rate))
-        mcds.append(M.mcd(ref, gen, cfg.sample_rate))
-        lsds.append(M.log_spectral_distance(ref, gen, cfg.n_fft, cfg.hop_len))
-        moses.append(mos(gen, cfg.sample_rate))
+        s = score_wav_pair(gen, ref, cfg, syncnet_apply, mos)
+        sims.append(s["sim"])
+        f0s.append(s["f0"])
+        mcds.append(s["mcd"])
+        lsds.append(s["lsd"])
+        moses.append(s["mos"])
 
     if n_paired == 0:
         raise SystemExit(f"no paired wavs between {gen_dir} and {gt_dir}")

@@ -77,9 +77,26 @@ class IntrainEvaluator:
         )
         self.mos = make_mos_predictor(cfg.mos_ckpt)
 
+    def _gt_wav(self, gt_mel: np.ndarray) -> np.ndarray:
+        """Ground-truth reference waveform by COPY-SYNTHESIS: vocode the GT
+        mel with the same HiFi-GAN used for the generated sample.  The packed
+        dataset stores mels, not waveforms; passing both sides through the
+        same vocoder makes the waveform-domain metrics (F0 RMSE, MCD, LSD)
+        measure the TTS model alone, exactly as the reference's eval compares
+        vocoded outputs to studio wavs modulo its shared-vocoder bias
+        (reference evaluation/eval.py:186-218)."""
+        return np.concatenate(list(self.synth.stream_vocode(gt_mel)))
+
     def run(self, state, step: int) -> Dict[str, float]:
         """Synthesize n validation items with the current weights and score
-        them.  Returns the metric dict (also written to eval_output.txt)."""
+        them with the FULL offline protocol (speaker-sim, F0 RMSE, MCD, LSD,
+        MOS, composite — the same `score_wav_pair` the offline CLI uses), so
+        checkpoint ranking mid-training matches the reference's StepwiseEval
+        semantics (custom_callbacks.py:57-92 runs the real eval subprocess;
+        eval.py:229-253 defines the composite).  Also keeps the cheap
+        mel-domain distance for continuity.  Returns the metric dict (also
+        written to eval_output.txt in the reference's key: value format)."""
+        from facegantts_tpu.evaluation.evaluate import score_wav_pair
         from facegantts_tpu.utils.audio import save_wav
 
         cfg = self.cfg
@@ -87,25 +104,39 @@ class IntrainEvaluator:
         step_dir = os.path.join(self.out_dir, f"step_{step:08d}")
         os.makedirs(step_dir, exist_ok=True)
 
-        sims, lsds, moses = [], [], []
+        sims, f0s, mcds, lsds, moses, mel_ds = [], [], [], [], [], []
         for i in range(min(cfg.eval_n_samples, len(self.val_ds))):
             item = self.val_ds[i]
             face = self.synth.prepare_face(item["spk"])
             wav, mel = self.synth.synthesize(item["x"], face, seed=i)
-            gt_mel = item["y"]
-            _, sim = M.speaker_similarity(self.syncnet_apply, gt_mel, mel)
+            gt_mel = np.asarray(item["y"], np.float32)
+            s = score_wav_pair(wav, self._gt_wav(gt_mel), cfg,
+                               self.syncnet_apply, self.mos)
+            sims.append(s["sim"])
+            f0s.append(s["f0"])
+            mcds.append(s["mcd"])
+            lsds.append(s["lsd"])
+            moses.append(s["mos"])
             t = min(mel.shape[1], gt_mel.shape[1])
-            lsd = float(np.mean(np.sqrt(np.mean(
-                (mel[:, :t] - gt_mel[:, :t]) ** 2, axis=0))))
-            sims.append(sim)
-            lsds.append(lsd)
-            moses.append(self.mos(wav, cfg.sample_rate))
+            mel_ds.append(float(np.mean(np.sqrt(np.mean(
+                (mel[:, :t] - gt_mel[:, :t]) ** 2, axis=0)))))
             save_wav(os.path.join(step_dir, f"sample_{i}.wav"), wav, cfg.sample_rate)
 
+        mean = lambda v: float(np.mean(v)) if v else 0.0  # noqa: E731
         results = {
-            "Speaker Similarity": float(np.mean(sims)) if sims else 0.0,
-            "Mel Distance": float(np.mean(lsds)) if lsds else 0.0,
-            "UTMOS": float(np.mean(moses)) if moses else 0.0,
+            # same keys as evaluation/evaluate.py (offline CLI) — the
+            # composite is what CheckpointPolicy can monitor
+            "Composite Metric": M.composite_metric(
+                mean(sims), mean(f0s), mean(mcds), mean(lsds)
+            ) if sims else 0.0,
+            "Speaker Similarity": mean(sims),
+            "F0 RMSE": mean(f0s),
+            "MCD": mean(mcds),
+            "STFT Distance": mean(lsds),
+            "UTMOS": mean(moses),
+            # extra (not part of the reference protocol): mel-domain LSD of
+            # the model output vs the GT mel, vocoder-independent
+            "Mel Distance": mean(mel_ds),
             "Samples": float(len(sims)),
         }
         with open(os.path.join(step_dir, "eval_output.txt"), "w") as f:

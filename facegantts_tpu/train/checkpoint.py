@@ -91,8 +91,24 @@ class CheckpointPolicy:
         """Periodic mid-epoch save -> <work>/last (newest only)."""
         self.last_mgr.save(step, args=self._ocp.args.StandardSave(state))
 
-    def save_epoch(self, state, step: int, epoch: int, metrics: Dict[str, float]) -> bool:
-        """Epoch-end save with the monitored metric; snapshots + best copy.
+    def snapshot(self, state, step: int, epoch: int) -> None:
+        """Fixed-epoch snapshot (reference SaveEpochZero/SaveEpoch96) — a
+        no-op unless ``epoch`` is in ``snapshot_epochs``."""
+        if epoch not in self.snapshot_epochs:
+            return
+        snap_dir = os.path.join(self.work_dir, "snapshots", f"epoch_{epoch}")
+        with self._ocp.CheckpointManager(
+            snap_dir,
+            options=self._ocp.CheckpointManagerOptions(max_to_keep=1, create=True),
+        ) as snap:
+            snap.save(step, args=self._ocp.args.StandardSave(state))
+
+    def save_epoch(self, state, step: int, epoch: int,
+                   metrics: Dict[str, float], with_snapshot: bool = True) -> bool:
+        """Ranked save with the monitored metric; snapshots + best copy.
+        Fired at epoch end (monitor="total_loss") or at eval intervals
+        (monitor = an in-train eval key, with_snapshot=False so eval-interval
+        saves don't re-trigger the epoch snapshot mid-epoch).
 
         Returns True when the monitored value improved."""
         value = float(metrics[self.monitor])
@@ -101,13 +117,8 @@ class CheckpointPolicy:
             args=self._ocp.args.StandardSave(state),
             metrics={self.monitor: value},
         )
-        if epoch in self.snapshot_epochs:
-            snap_dir = os.path.join(self.work_dir, "snapshots", f"epoch_{epoch}")
-            with self._ocp.CheckpointManager(
-                snap_dir,
-                options=self._ocp.CheckpointManagerOptions(max_to_keep=1, create=True),
-            ) as snap:
-                snap.save(step, args=self._ocp.args.StandardSave(state))
+        if with_snapshot:
+            self.snapshot(state, step, epoch)
         improved = value < self.best
         if improved:
             self.best = value

@@ -166,7 +166,7 @@ def train(cfg: Config, work_dir: str = "runs/default", max_steps: Optional[int] 
     # persistent managers; every process participates in saves (orbax
     # coordinates multi-host), retention is metric-ranked (val total_loss)
     policy = ck.CheckpointPolicy(
-        work_dir, keep_top_k=cfg.keep_top_k, monitor="total_loss",
+        work_dir, keep_top_k=cfg.keep_top_k, monitor=cfg.checkpoint_monitor,
         snapshot_epochs=cfg.snapshot_epochs,
     )
 
@@ -279,6 +279,12 @@ def train(cfg: Config, work_dir: str = "runs/default", max_steps: Optional[int] 
                         logger.log_audio(step, f"eval/sample_{i}", wav, sr)
                 print(f"[eval step {step}] "
                       + " ".join(f"{k}={v:.4f}" for k, v in results.items()))
+                # with an eval-metric monitor (e.g. "Composite Metric"),
+                # ranked/best checkpointing fires here — the reference's
+                # StepwiseEval-ranked retention (custom_callbacks.py:57-92)
+                if policy.monitor in results:
+                    policy.save_epoch(state, step, epoch, results,
+                                      with_snapshot=False)
 
             if step >= max_steps:
                 break
@@ -300,7 +306,12 @@ def train(cfg: Config, work_dir: str = "runs/default", max_steps: Optional[int] 
                 print(f"[epoch {epoch}] val "
                       + " ".join(f"{k}={v:.4f}" for k, v in avg.items()))
             val_loss = avg.get("total_loss", float("inf"))
-            policy.save_epoch(state, step, epoch, avg)
+            if policy.monitor in avg:
+                policy.save_epoch(state, step, epoch, avg)
+            else:
+                # monitor is an eval-interval metric: ranked saves happen
+                # there; still honor the fixed-epoch snapshot here
+                policy.snapshot(state, step, epoch)
             if stopper.update(val_loss):
                 print(f"[INFO] early stopping at epoch {epoch} (patience exceeded)")
                 break

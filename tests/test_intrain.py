@@ -5,6 +5,7 @@ import os
 
 import jax
 import numpy as np
+import pytest
 
 from facegantts_tpu.config import default_config
 from facegantts_tpu.data.dataset import SyntheticDataset
@@ -14,11 +15,14 @@ from facegantts_tpu.train import init_state
 from tests.test_train import TINY, tiny_batch
 
 
+@pytest.mark.slow
 def test_run_intrain_eval(tmp_path):
-    cfg = default_config(env=dict(TINY, use_gan="0")).replace(
+    # spk_emb=face: in-train eval synthesizes from dataset face frames (TINY
+    # defaults to the cheaper speech conditioning for train-step tests)
+    cfg = default_config(env=dict(TINY, use_gan="0", spk_emb="face")).replace(
         text_buckets=(16,), mel_buckets=(64,), eval_n_samples=1,
     )
-    state = init_state(cfg, jax.random.PRNGKey(0), tiny_batch())
+    state = init_state(cfg, jax.random.PRNGKey(0), tiny_batch(spk_mode="face"))
     ds = SyntheticDataset(n_items=2, n_mels=cfg.n_mels, min_frames=40, max_frames=48)
     results = run_intrain_eval(cfg, state, ds, str(tmp_path), step=7, n_samples=1)
 
@@ -26,6 +30,10 @@ def test_run_intrain_eval(tmp_path):
     assert np.isfinite(results["Mel Distance"])
     assert -1.0 <= results["Speaker Similarity"] <= 1.0
     assert 1.0 <= results["UTMOS"] <= 5.0
+    # full offline-protocol keys (same as evaluation/evaluate.py) so
+    # CheckpointPolicy can monitor the composite (VERDICT r2 next-step #6)
+    for key in ("Composite Metric", "F0 RMSE", "MCD", "STFT Distance"):
+        assert key in results and np.isfinite(results[key]), (key, results)
 
     step_dir = os.path.join(str(tmp_path), "step_00000007")
     assert os.path.exists(os.path.join(step_dir, "eval_output.txt"))
