@@ -179,9 +179,15 @@ class FaceTTS(nn.Module):
         temperature: float = 1.0,
         stoc: bool = False,
         rng: Optional[jax.Array] = None,
+        noise: Optional[jnp.ndarray] = None,
     ):
         """Phase 2: expand the prior along the predicted durations and run
-        the reverse diffusion at a static Ty bucket."""
+        the reverse diffusion at a static Ty bucket.
+
+        ``noise``: optional pre-drawn standard-normal (B, F, y_max_length)
+        replacing the internal draw (reference inference.py:127's
+        torch.randn_like) — used by cross-framework parity harnesses that
+        must feed BOTH implementations the identical noise."""
         y_lengths = jnp.minimum(y_lengths, y_max_length).astype(jnp.int32)
         y_mask = sequence_mask(y_lengths, y_max_length).astype(mu_x.dtype)[:, None, :]
         attn_mask = x_mask * y_mask  # (B, Tx, Ty)
@@ -192,7 +198,9 @@ class FaceTTS(nn.Module):
         ).astype(mu_x.dtype)  # (B, F, Ty)
 
         rng_z, rng_s = jax.random.split(rng)
-        z = mu_y + jax.random.normal(rng_z, mu_y.shape, mu_y.dtype) / temperature
+        if noise is None:
+            noise = jax.random.normal(rng_z, mu_y.shape, mu_y.dtype)
+        z = mu_y + noise.astype(mu_y.dtype) / temperature
         dec, _ = self.decoder(
             z, y_mask, mu_y, n_timesteps, stoc=stoc, spk=spk_e, rng=rng_s
         )
@@ -210,6 +218,7 @@ class FaceTTS(nn.Module):
         length_scale: float = 1.0,
         rng: Optional[jax.Array] = None,
         spk_is_embedding: bool = False,
+        noise: Optional[jnp.ndarray] = None,
     ):
         """Inference: synthesize a mel given text and a face image
         (reference face_tts.py:92-140).
@@ -222,7 +231,7 @@ class FaceTTS(nn.Module):
         )
         return self.decode(
             mu_x, w_ceil, x_mask, y_lengths, spk_e, n_timesteps, y_max_length,
-            temperature, stoc, rng,
+            temperature, stoc, rng, noise,
         )
 
     # --------------------------------------------------------------- loss
