@@ -126,6 +126,14 @@ def bench_inference(n_iters: int = 10):
 # TPU v5e (v5 lite) peak: 197 TFLOP/s bf16 per chip — the standard MFU
 # denominator for this part.
 V5E_PEAK_FLOPS = 197e12
+# b=1 inference RTF regression bound: BENCH_r02 measured 0.0201 (median
+# 70.8 ms / 3.52 s utterance); an attention-form or dispatch-path change
+# that pushes past this bound is a real regression (the r2 skew-attention
+# interim hit 0.0263 and went unnoticed for half a round — BENCH_NOTES).
+RTF_REGRESSION_BOUND = 0.030
+# prior-round records for vs_prior_round deltas (BENCH_r02.json)
+PRIOR_ROUND = {"inference_rtf": 0.02013, "train_samples_per_sec": 18.28,
+               "mfu": 0.0714}
 # Reference GAN-training scale: 4xA100, global batch 256, 100k steps inside
 # a 3-day SLURM window (reference config.py:132, train.sh:7) -> upper bound
 # ~0.39 steps/s = ~99 samples/s over 4 A100s = ~25 samples/s per A100.
@@ -133,17 +141,18 @@ V5E_PEAK_FLOPS = 197e12
 REF_SAMPLES_PER_SEC_PER_GPU = 25.0
 
 
-def bench_gan_step(n_iters: int = 5):
-    """Full GAN train step at the reference's per-device scale: batch 32
-    (2 micro-batches of cfg.micro_batch_size=16), full-length ty=436, T=10,
-    R1 on.  Returns (samples_per_sec, step_seconds, mfu)."""
+def _gan_bench_setup():
+    """Build the bench-shape GAN step inputs (shared by the bench and the
+    compile-cache probe so both compile the IDENTICAL program)."""
     import jax
     import jax.numpy as jnp
 
     from facegantts_tpu.config import default_config
     from facegantts_tpu.train import init_state, make_gan_train_step
     from facegantts_tpu.train.state import Batch
+    from facegantts_tpu.utils.cache import enable_compilation_cache
 
+    enable_compilation_cache()
     cfg = default_config(env={})
     b, tx, ty = cfg.micro_batch_size * 2, 128, 436
     rng = np.random.default_rng(0)
@@ -156,13 +165,62 @@ def bench_gan_step(n_iters: int = 5):
     )
     state = init_state(cfg, jax.random.PRNGKey(0), batch)
     step, _ = make_gan_train_step(cfg)
+    return cfg, state, batch, step
+
+
+def gan_compile_probe():
+    """Subprocess body (bench.py --compile-probe): compile the bench-shape
+    GAN step in a FRESH process and print the compile seconds.  Run before
+    the in-process bench, it makes the bench's own compile time measure the
+    CROSS-PROCESS persistent-cache hit (VERDICT r2 weak #5: nothing recorded
+    whether the TPU-side .jax_cache actually hits across driver/bench
+    invocations — a repeat 144.5 s compile in round 2 suggested it doesn't)."""
+    import jax
+
+    _, state, batch, step = _gan_bench_setup()
+    t0 = time.perf_counter()
+    step.lower(state, batch, jax.random.PRNGKey(1)).compile()
+    print(f"PROBE_COMPILE_S={time.perf_counter() - t0:.1f}", flush=True)
+
+
+def run_compile_probe() -> float:
+    """Spawn the cold-compile probe subprocess; return its compile seconds
+    (or -1 on failure).  The child finishes before the parent touches the
+    backend, so the two never contend for the device tunnel."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--compile-probe"],
+            capture_output=True, text=True, timeout=900,
+        )
+        for line in (out.stdout or "").splitlines():
+            if line.startswith("PROBE_COMPILE_S="):
+                return float(line.split("=", 1)[1])
+        log(f"compile probe produced no timing (rc={out.returncode}): "
+            f"{(out.stderr or '')[-300:]}")
+    except Exception as e:
+        log(f"compile probe failed: {e}")
+    return -1.0
+
+
+def bench_gan_step(n_iters: int = 5):
+    """Full GAN train step at the reference's per-device scale: batch 32
+    (2 micro-batches of cfg.micro_batch_size=16), full-length ty=436, T=10,
+    R1 on.  Returns (samples_per_sec, step_seconds, mfu, compile_seconds)."""
+    import jax
+
+    cfg, state, batch, step = _gan_bench_setup()
+    b = batch.x.shape[0]
+    tx, ty = batch.x.shape[1], batch.y.shape[-1]
 
     # AOT compile so the SAME executable provides both the timing and the
     # FLOP count (XLA's own cost model over the optimized HLO)
     t0 = time.perf_counter()
     lowered = step.lower(state, batch, jax.random.PRNGKey(1))
     compiled = lowered.compile()
-    log(f"GAN step compile: {time.perf_counter() - t0:.1f}s")
+    compile_s = time.perf_counter() - t0
+    log(f"GAN step compile: {compile_s:.1f}s")
     flops = None
     try:
         ca = compiled.cost_analysis()
@@ -187,7 +245,7 @@ def bench_gan_step(n_iters: int = 5):
     if flops:
         log(f"XLA-counted FLOPs/step: {flops/1e12:.2f} TFLOP -> "
             f"MFU {100*mfu:.2f}% of v5e bf16 peak ({V5E_PEAK_FLOPS/1e12:.0f} TFLOP/s)")
-    return sps, sec, mfu
+    return sps, sec, mfu, compile_s
 
 
 def bench_batch_throughput(batch: int = 8, n_iters: int = 5):
@@ -240,6 +298,14 @@ def main():
     signal.signal(signal.SIGALRM, _watchdog)
     signal.alarm(int(os.environ.get("BENCH_WATCHDOG", "2700")))
 
+    # cold-compile probe BEFORE this process touches the backend (the child
+    # must finish before the parent initializes the device tunnel)
+    probe_compile_s = -1.0
+    if (os.environ.get("BENCH_TRAIN", "1") == "1"
+            and os.environ.get("BENCH_CACHECHECK", "1") == "1"):
+        probe_backend()
+        probe_compile_s = run_compile_probe()
+
     probe_backend()
     rtf = bench_inference()
     RESULTS.append({
@@ -247,27 +313,51 @@ def main():
         "value": round(rtf, 5),
         "unit": "s_compute/s_audio",
         "vs_baseline": round(0.05 / rtf, 3),
+        "vs_prior_round": round(PRIOR_ROUND["inference_rtf"] / rtf, 3),
     })
+    if rtf > RTF_REGRESSION_BOUND:
+        log(f"REGRESSION: b=1 inference RTF {rtf:.4f} exceeds the recorded "
+            f"bound {RTF_REGRESSION_BOUND} (BENCH_r02 measured 0.0201) — "
+            "a recent change hurt single-utterance latency; see BENCH_NOTES.")
+        RESULTS[-1]["regression"] = True
     if os.environ.get("BENCH_BATCH", "0") == "1":
         bench_batch_throughput()
     if os.environ.get("BENCH_TRAIN", "1") == "1":
-        sps, sec, mfu = bench_gan_step()
+        sps, sec, mfu, compile_s = bench_gan_step()
         RESULTS.insert(-1, {
             "metric": "train_samples_per_sec",
             "value": round(sps, 2),
             "unit": "samples/s@batch32",
             "vs_baseline": round(sps / REF_SAMPLES_PER_SEC_PER_GPU, 3),
+            "vs_prior_round": round(sps / PRIOR_ROUND["train_samples_per_sec"], 3),
         })
         RESULTS.insert(-1, {
             "metric": "mfu",
             "value": round(mfu, 4),
             "unit": "fraction_of_v5e_bf16_peak",
             "vs_baseline": round(mfu, 4),
+            "vs_prior_round": round(mfu / PRIOR_ROUND["mfu"], 3),
         })
+        if probe_compile_s > 0:
+            # cache proof: the probe subprocess paid the cold compile, so the
+            # in-process compile above should be a cross-process cache HIT
+            hit = compile_s < 0.5 * probe_compile_s
+            log(f"persistent-cache check: cold (subprocess) {probe_compile_s:.1f}s "
+                f"-> warm (this process) {compile_s:.1f}s "
+                f"[{'HIT' if hit else 'MISS — investigate'}]")
+            RESULTS.insert(-1, {
+                "metric": "gan_compile_warm_over_cold",
+                "value": round(compile_s / probe_compile_s, 3),
+                "unit": f"warm_s/cold_s (cold={probe_compile_s:.1f}s, warm={compile_s:.1f}s)",
+                "vs_baseline": round(probe_compile_s / max(compile_s, 1e-9), 2),
+            })
     signal.alarm(0)
     # headline metric LAST (the driver parses the final JSON line)
     _flush_results()
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--compile-probe":
+        gan_compile_probe()
+    else:
+        main()
