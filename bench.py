@@ -229,6 +229,34 @@ def bench_gan_step(n_iters: int = 5):
     except Exception as e:
         log(f"cost_analysis unavailable ({e}); MFU omitted")
 
+    import subprocess
+
+    # XLA's cost model counts a While BODY once, so the fused step (scan
+    # over micro-batches; scan over T sampler steps) under-reports by ~3x.
+    # The trip-count-aware audit lowers the while-free pieces the step scans
+    # over and multiplies by the known trip counts (utils/flops.py); it runs
+    # in a scrubbed pure-CPU child (lower().cost_analysis() returns None on
+    # the axon plugin) and was cross-checked against XLA:CPU's OPTIMIZED
+    # HLO counts (within 0.6% on the R1 double-backward piece).
+    audited = None
+    try:
+        from facegantts_tpu.utils.hostenv import cpu_subprocess_env
+
+        out = subprocess.run(
+            [sys.executable, "-m", "facegantts_tpu.utils.flops"],
+            env=cpu_subprocess_env(1, repo_root=os.path.dirname(os.path.abspath(__file__))),
+            capture_output=True, text=True, timeout=900,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = (out.stdout or "").strip().splitlines()[-1]
+        audited = json.loads(line)
+        log("audited FLOPs/step (trip-count-aware, TFLOP): "
+            + ", ".join(f"{k}={v/1e12:.2f}" for k, v in audited.items()))
+    except Exception as e:
+        log(f"FLOP audit unavailable ({e}); falling back to XLA-counted")
+    if audited and audited.get("step"):
+        flops = float(audited["step"])
+
     state, m = compiled(state, batch, jax.random.PRNGKey(1))
     float(m["g_loss"])  # device_get sync (block_until_ready is async here)
     times = []
@@ -243,7 +271,8 @@ def bench_gan_step(n_iters: int = 5):
     log(f"GAN train step: {sec*1000:.0f} ms (batch {b}, tx={tx}, ty={ty}, "
         f"T={cfg.timesteps}, R1 on) -> {1.0/sec:.3f} steps/s, {sps:.1f} samples/s")
     if flops:
-        log(f"XLA-counted FLOPs/step: {flops/1e12:.2f} TFLOP -> "
+        src = "audited" if audited else "XLA-counted (while bodies x1!)"
+        log(f"{src} FLOPs/step: {flops/1e12:.2f} TFLOP -> "
             f"MFU {100*mfu:.2f}% of v5e bf16 peak ({V5E_PEAK_FLOPS/1e12:.0f} TFLOP/s)")
     return sps, sec, mfu, compile_s
 

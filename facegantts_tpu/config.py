@@ -184,6 +184,10 @@ class Config:
     #                      precision as default inference; grads stay f32).
     #                      Measured a wash on v5e (backend auto-bf16s convs)
     #                      so f32 reference parity is the default.
+    sampler_unroll: int = 1  # reverse-sampler scan unroll (perf knob; same math)
+    micro_unroll: int = 1  # micro-batch scan unroll: >1 exposes the
+    #                      INDEPENDENT micro-batch chains to the scheduler
+    #                      so sampler/grad work can interleave (same math)
     fast_rng: int = 1  # re-key train-step RNG into the TPU hardware RBG
     #                      generator (threefry mask/noise generation measured
     #                      ~50 ms/step in device traces).  Draw VALUES differ

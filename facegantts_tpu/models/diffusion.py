@@ -38,6 +38,10 @@ class Diffusion(nn.Module):
     beta_max: float = 20.0
     pe_scale: float = 1000.0
     perceptual_loss: int = 1
+    # lax.scan unroll factor for the reverse sampler: >1 lets XLA fuse/
+    # overlap across Euler iterations at the cost of program size (perf
+    # knob only — identical math)
+    sampler_unroll: int = 1
 
     def setup(self):
         self.estimator = GradLogPEstimator2d(
@@ -105,6 +109,7 @@ class Diffusion(nn.Module):
             step,
             variable_broadcast="params",
             split_rngs={"params": False},
+            unroll=max(1, min(self.sampler_unroll, n_steps)),
         )
         xt, traj = scan(self, xt, xs)
         return (xt, traj) if return_all else (xt, None)

@@ -75,6 +75,7 @@ class FaceTTS(nn.Module):
     # 1.0 = exact reference SyncNet (required for pretrained import); smaller
     # only for smoke/dry-run configs where the fixed 224x224 trunk dominates
     syncnet_width_mult: float = 1.0
+    sampler_unroll: int = 1
 
     @staticmethod
     def from_config(cfg: Config) -> "FaceTTS":
@@ -101,6 +102,7 @@ class FaceTTS(nn.Module):
             out_size=cfg.out_size,
             syncnet_stride=cfg.syncnet_stride,
             syncnet_width_mult=cfg.syncnet_width_mult,
+            sampler_unroll=cfg.sampler_unroll,
         )
 
     def setup(self):
@@ -128,6 +130,7 @@ class FaceTTS(nn.Module):
             beta_max=self.beta_max,
             pe_scale=self.pe_scale,
             perceptual_loss=self.perceptual_loss,
+            sampler_unroll=self.sampler_unroll,
             name="decoder",
         )
         self.syncnet = SyncNet(

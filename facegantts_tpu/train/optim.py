@@ -92,14 +92,35 @@ def build_generator_optimizer(cfg: Config, params) -> optax.GradientTransformati
 
 def build_gan_generator_optimizer(cfg: Config, params) -> optax.GradientTransformation:
     """Plain Adam over encoder+decoder only (reference
-    face_tts_w_discriminator.py:118-123), with the reference's grad clip."""
-    labels = _label_params(params, frozen_all_syncnet)
-    tx = optax.multi_transform(
-        {"train": optax.adam(cfg.learning_rate, eps=cfg.gen_eps),
+    face_tts_w_discriminator.py:120-123).
+
+    The reference clips the ENCODER and DECODER gradient norms SEPARATELY
+    (`clip_grad_norm_(encoder.parameters(), 1)` then the same for decoder,
+    face_tts_w_discriminator.py:312-313) and its optimizer never sees
+    syncnet parameters — so each group gets its own clip-then-adam chain
+    here, and syncnet gradients play no role at all (the train step
+    stop-gradients that frozen subtree so XLA drops its backward
+    entirely)."""
+    flat = traverse_util.flatten_dict(params)
+
+    def label(path: tuple) -> str:
+        if frozen_all_syncnet(path):
+            return "frozen"
+        return str(path[0]) if path[0] in ("encoder", "decoder") else "encoder"
+
+    labels = traverse_util.unflatten_dict({k: label(k) for k in flat})
+
+    def group_tx():
+        return optax.chain(
+            optax.clip_by_global_norm(cfg.grad_clip),
+            optax.adam(cfg.learning_rate, eps=cfg.gen_eps),
+        )
+
+    return optax.multi_transform(
+        {"encoder": group_tx(), "decoder": group_tx(),
          "frozen": optax.set_to_zero()},
         labels,
     )
-    return optax.chain(optax.clip_by_global_norm(cfg.grad_clip), tx)
 
 
 def build_discriminator_optimizer(cfg: Config) -> optax.GradientTransformation:

@@ -341,17 +341,19 @@ def make_plain_train_step(cfg: Config, mesh: Optional[Mesh] = None):
     return train_step, val_step
 
 
-def make_gan_train_step(cfg: Config, mesh: Optional[Mesh] = None):
-    """GAN training step (reference face_tts_w_discriminator.py:127-349).
+def make_gan_loss_fns(cfg: Config, model=None, disc=None):
+    """The three per-micro-batch GAN loss computations, as standalone
+    functions: ``sample_fake(params, model_state, mb, rng)``,
+    ``d_loss_fn(disc_params, y_real, fake, use_r1)`` and
+    ``g_loss_fn(params, model_state, disc_params, mb, fake, rng, train_disc,
+    reuse)``.
 
-    Static flags: train_disc (epoch >= warmup_disc_epochs), train_gen
-    (epoch >= freeze_gen_epochs), use_r1 (epoch >= r1_start_epoch).
-    cfg.micro_batch_size is the PER-DEVICE micro-batch (reference: per-GPU,
-    config.py:112)."""
-    model, disc = build_models(cfg)
-    mesh = mesh if mesh is not None else create_mesh()
-    gen_tx = None
-    disc_tx = build_discriminator_optimizer(cfg)
+    Factored out of ``make_gan_train_step`` so the FLOP audit
+    (utils/flops.py) can lower exactly the pieces the step scans over —
+    XLA's cost model counts a While body ONCE, so the fused step's own
+    cost_analysis undercounts by the micro-batch and sampler trip counts."""
+    if model is None or disc is None:
+        model, disc = build_models(cfg)
     loss_type = cfg.disc_loss_type
     down, up = _mp_caster(cfg)
 
@@ -416,6 +418,19 @@ def make_gan_train_step(cfg: Config, mesh: Optional[Mesh] = None):
 
     def g_loss_fn(params, model_state, disc_params, mb: Batch, fake, rng,
                   train_disc: bool, reuse=None):
+        # SyncNet is FULLY frozen in GAN mode (reference optimizer covers
+        # encoder+decoder only, face_tts_w_discriminator.py:120-123, and its
+        # per-group grad clips never see syncnet): stop-gradient the frozen
+        # subtree so XLA dead-code-eliminates the 224x224 video-trunk
+        # backward instead of computing weight grads the optimizer zeroes.
+        # Activation gradients THROUGH the audio trunk (spk_loss -> xt_hat
+        # -> decoder) are unaffected — they flow through the forward, not
+        # the parameters.
+        if "syncnet" in params:
+            params = dict(
+                params,
+                syncnet=jax.tree.map(jax.lax.stop_gradient, params["syncnet"]),
+            )
         if cfg.adv_grad_through_sampler:
             rng, rng_s = jax.random.split(rng)
             fake = sample_fake(params, model_state, mb, rng_s)
@@ -478,6 +493,23 @@ def make_gan_train_step(cfg: Config, mesh: Optional[Mesh] = None):
             "g_loss": g_loss,
         }
         return g_loss, metrics
+
+    return sample_fake, d_loss_fn, g_loss_fn
+
+
+def make_gan_train_step(cfg: Config, mesh: Optional[Mesh] = None):
+    """GAN training step (reference face_tts_w_discriminator.py:127-349).
+
+    Static flags: train_disc (epoch >= warmup_disc_epochs), train_gen
+    (epoch >= freeze_gen_epochs), use_r1 (epoch >= r1_start_epoch).
+    cfg.micro_batch_size is the PER-DEVICE micro-batch (reference: per-GPU,
+    config.py:112)."""
+    model, disc = build_models(cfg)
+    mesh = mesh if mesh is not None else create_mesh()
+    gen_tx = None
+    disc_tx = build_discriminator_optimizer(cfg)
+    loss_type = cfg.disc_loss_type
+    sample_fake, d_loss_fn, g_loss_fn = make_gan_loss_fns(cfg, model, disc)
 
     def local_gan_grads(
         params, model_state, disc_params, batch, rng,
@@ -543,7 +575,8 @@ def make_gan_train_step(cfg: Config, mesh: Optional[Mesh] = None):
             return (d_acc, g_acc), metrics
 
         (d_grads, g_grads), metrics = jax.lax.scan(
-            micro_body, (zero_d, zero_g), (micro, rngs)
+            micro_body, (zero_d, zero_g), (micro, rngs),
+            unroll=max(1, min(cfg.micro_unroll, n_micro)),
         )
         inv = 1.0 / n_micro
         d_grads = jax.lax.pmean(jax.tree.map(lambda g: g * inv, d_grads), "data")

@@ -27,6 +27,12 @@ CONFIGS = {
     "train_bf16": {"train_bf16": "1"},
     "sampler_bf16": {"gan_sampler_bf16": "1"},
     "both_bf16": {"train_bf16": "1", "gan_sampler_bf16": "1"},
+    "unroll2": {"sampler_unroll": "2"},
+    "unroll5": {"sampler_unroll": "5"},
+    "sbf16_unroll2": {"gan_sampler_bf16": "1", "sampler_unroll": "2"},
+    "sbf16_unroll5": {"gan_sampler_bf16": "1", "sampler_unroll": "5"},
+    "micro_unroll": {"micro_unroll": "2"},
+    "micro_sbf16": {"micro_unroll": "2", "gan_sampler_bf16": "1"},
 }
 
 CHILD = r"""

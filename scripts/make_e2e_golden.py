@@ -23,13 +23,14 @@ import torch
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tests.test_e2e_parity import DIMS, GOLDEN, RECIPE, Y_MAX, _inputs  # noqa: E402
-from tests.torch_replica import TFaceTTS, torch_inference  # noqa: E402
+from tests.test_e2e_parity import (  # noqa: E402
+    GOLDEN, RECIPE, Y_MAX, _inputs, _stable_torch_replica,
+)
+from tests.torch_replica import torch_inference  # noqa: E402
 
 
 def main():
-    torch.manual_seed(0)
-    tmodel = TFaceTTS(**DIMS)
+    tmodel = _stable_torch_replica()
     x, x_len, face, noise = _inputs()
     mel, y_lengths, spk = torch_inference(
         tmodel, torch.from_numpy(x).long(), torch.from_numpy(x_len).long(),
@@ -37,9 +38,13 @@ def main():
         RECIPE["n_timesteps"], Y_MAX, RECIPE["temperature"],
         RECIPE["length_scale"], noise,
     )
+    mel = np.asarray(mel, np.float32)
+    assert np.isfinite(mel).all(), (
+        "torch replica produced a non-finite mel — the reverse ODE blew up; "
+        "lower tests.test_e2e_parity.EST_SCALE and retry")
     payload = {
         "x": x, "x_len": x_len, "spk": spk.astype(np.float32),
-        "noise": noise, "mel": mel.astype(np.float32),
+        "noise": noise, "mel": mel,
         "y_lengths": y_lengths,
     }
     for k, v in tmodel.state_dict().items():

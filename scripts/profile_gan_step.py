@@ -20,14 +20,28 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def run_and_trace(out_dir: str, n_steps: int = 3):
+    import time
+
     import jax
     import jax.numpy as jnp
 
     from facegantts_tpu.config import default_config
     from facegantts_tpu.train import init_state, make_gan_train_step
     from facegantts_tpu.train.state import Batch
+    from facegantts_tpu.utils.cache import enable_compilation_cache
 
-    cfg = default_config(env={})
+    enable_compilation_cache()
+    t0 = time.monotonic()
+    hb = lambda s: print(f"[profile +{time.monotonic()-t0:6.1f}s] {s}",  # noqa: E731
+                         flush=True)
+    # config overrides via PROF_OVERRIDES={"key": "val", ...} (JSON) so the
+    # matrix winner can be traced without editing this file
+    import json as _json
+
+    overrides = _json.loads(os.environ.get("PROF_OVERRIDES", "{}"))
+    cfg = default_config(env={}, overrides=overrides)
+    if overrides:
+        hb(f"overrides: {overrides}")
     b, tx, ty = cfg.micro_batch_size * 2, 128, 436
     rng = jax.random.PRNGKey(0)
     batch = Batch(
@@ -37,15 +51,19 @@ def run_and_trace(out_dir: str, n_steps: int = 3):
         y_len=jnp.full((b,), ty, jnp.int32),
         spk=jax.random.normal(rng, (b, cfg.image_size, cfg.image_size, 3)),
     )
+    hb("init_state (jitted)")
     state = init_state(cfg, jax.random.PRNGKey(0), batch)
     step, _ = make_gan_train_step(cfg)
+    hb("compile + first step")
     state, m = step(state, batch, jax.random.PRNGKey(1))
     float(m["g_loss"])  # materialize (block_until_ready is async on axon)
+    hb("tracing")
     jax.profiler.start_trace(out_dir)
     for i in range(n_steps):
         state, m = step(state, batch, jax.random.PRNGKey(2 + i))
         float(m["g_loss"])
     jax.profiler.stop_trace()
+    hb("trace done")
     return n_steps
 
 

@@ -23,6 +23,32 @@ def keys():
     return jax.random.split(jax.random.PRNGKey(0), 8)
 
 
+def test_mish_matches_textbook_form():
+    """The rational-exp mish (models/unet.py) must match x*tanh(softplus(x))
+    to f32 rounding everywhere, including extremes, and have finite,
+    matching gradients."""
+    from flax import linen as nn
+
+    from facegantts_tpu.models.unet import mish
+
+    x = jnp.concatenate([
+        jnp.linspace(-80.0, 80.0, 40001),
+        jnp.array([-1e30, -1e4, -25.0, 19.999, 20.0, 20.001, 1e4, 1e30]),
+    ])
+    ref = x * jnp.tanh(nn.softplus(x))
+    got = mish(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-6, atol=5e-6)
+    g_ref = jax.grad(lambda v: jnp.sum(v * jnp.tanh(nn.softplus(v))))(x)
+    g_got = jax.grad(lambda v: jnp.sum(mish(v)))(x)
+    assert np.isfinite(np.asarray(g_got)).all()
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-5)
+    # bf16 inputs stay bf16 out
+    xb = x.astype(jnp.bfloat16)
+    assert mish(xb).dtype == jnp.bfloat16
+
+
 def test_text_encoder_shapes_and_masking(keys):
     enc = TextEncoder(
         n_vocab=149, n_feats=16, n_channels=24, filter_channels=48,
@@ -101,6 +127,13 @@ def test_diffusion_loss_and_sampler(keys):
     assert out.shape == (b, f, t)
     out_s, _ = dec.apply(params, x0, mask, mu, 4, True, spk, keys[6])
     assert np.isfinite(np.asarray(out_s)).all()
+
+    # sampler_unroll is a pure perf knob: same math, but XLA re-fuses the
+    # unrolled iterations so results differ in the last ulps only
+    dec_u = Diffusion(n_feats=32, dim=16, spk_emb_dim=8, sampler_unroll=4)
+    out_u, _ = dec_u.apply(params, x0, mask, mu, 4, False, spk, keys[6])
+    np.testing.assert_allclose(
+        np.asarray(out_u), np.asarray(out), rtol=1e-4, atol=1e-4)
 
 
 def test_syncnet_embeddings(keys):

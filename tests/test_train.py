@@ -105,6 +105,54 @@ def test_gan_train_step():
     assert np.isfinite(float(vm["total_loss"]))
 
 
+def test_gan_generator_clip_is_per_group():
+    """Reference clips encoder and decoder grad norms SEPARATELY (max_norm=1
+    each, face_tts_w_discriminator.py:312-313) and its optimizer never sees
+    syncnet: a huge encoder gradient must not shrink the decoder update, and
+    syncnet updates must be exactly zero."""
+    import optax
+
+    from facegantts_tpu.train.optim import build_gan_generator_optimizer
+
+    cfg = default_config(env=dict(TINY, use_gan="1", grad_clip="1.0"))
+    params = {
+        "encoder": {"w": jnp.ones((4,))},
+        "decoder": {"w": jnp.ones((4,))},
+        "syncnet": {"w": jnp.ones((4,))},
+    }
+    tx = build_gan_generator_optimizer(cfg, params)
+    opt_state = tx.init(params)
+    grads = {
+        # an INFINITE encoder norm: a GLOBAL clip would scale EVERY group by
+        # clip/inf = 0 (zero/NaN decoder updates); per-group clipping keeps
+        # the blow-up contained to the encoder group
+        "encoder": {"w": jnp.full((4,), jnp.inf)},
+        "decoder": {"w": jnp.full((4,), 1e-3)},
+        "syncnet": {"w": jnp.full((4,), 5.0)},
+    }
+    updates, _ = tx.update(grads, opt_state, params)
+    np.testing.assert_array_equal(np.asarray(updates["syncnet"]["w"]), 0.0)
+    dec_step = np.abs(np.asarray(updates["decoder"]["w"]))
+    assert np.isfinite(dec_step).all()
+    assert (dec_step > 0.5 * cfg.learning_rate).all(), dec_step
+
+
+def test_gan_step_micro_unroll_same_results():
+    """micro_unroll is a pure scheduling knob: unrolling the micro-batch
+    scan must leave the update numerically (near-bit) identical."""
+    batch = tiny_batch()
+    outs = []
+    for unroll in ("1", "2"):
+        cfg = default_config(env=dict(TINY, use_gan="1", micro_unroll=unroll))
+        state = init_state(cfg, jax.random.PRNGKey(0), batch)
+        mesh = create_mesh(jax.devices("cpu")[:1])
+        train_step, _ = make_gan_train_step(cfg, mesh)
+        state, metrics = train_step(state, batch, jax.random.PRNGKey(1))
+        outs.append((_snap(state.params), float(metrics["g_loss"])))
+    assert outs[0][1] == pytest.approx(outs[1][1], rel=1e-5)
+    assert _param_delta(outs[0][0], outs[1][0]) < 1e-5
+
+
 @pytest.mark.slow
 def test_gan_step_data_parallel_cpu_mesh():
     """Full GAN train step sharded over an 8-device CPU mesh (SPMD check)."""
