@@ -183,9 +183,15 @@ class Config:
     gan_sampler_bf16: int = 1  # no-grad GAN fake-mel sampler in bf16 (same
     #                      precision as the DEFAULT inference path, use_bf16;
     #                      grads stay f32).  r3 matrix on v5e: 1721.8 vs
-    #                      1764.0 ms/step (+2.5%), identical loss trajectory
-    #                      (g_loss 4.5677 both ways at the probe point).
+    #                      1764.0 ms/step (+2.5%), identical g_loss at the
+    #                      probe point (4.5677 under both dtypes; the
+    #                      sampler is no-grad and its output is cast back
+    #                      to f32, so only the fake mel's rounding differs).
     sampler_unroll: int = 1  # reverse-sampler scan unroll (perf knob; same math)
+    fused_gn_mish: int = 1  # U-Net GroupNorm+Mish+mask as ONE Pallas chain
+    #                      (ops/gn_mish.py): lane-packed stats + normalize +
+    #                      activation + in-kernel time mask, exact reference
+    #                      math (non-TPU platforms fall back to plain XLA)
     micro_unroll: int = 1  # micro-batch scan unroll: >1 exposes the
     #                      INDEPENDENT micro-batch chains to the scheduler
     #                      so sampler/grad work can interleave (same math)

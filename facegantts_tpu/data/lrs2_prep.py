@@ -382,10 +382,17 @@ def match_speaker(known: List[np.ndarray], emb: np.ndarray,
 
 
 def label_speakers(cfg, video_root: str, out_path: str,
-                   sample_rate: int = 5, batch: int = 64) -> Dict[str, int]:
+                   sample_rate: int = 5, batch: int = 64,
+                   base_threshold: float = 0.40) -> Dict[str, int]:
     """Assign a global speaker id to every clip under video_root; writes
     ``<old_relpath> -> spk<ID>/<clip>`` mapping lines compatible with
-    :func:`load_mapping`."""
+    :func:`load_mapping`.
+
+    ``base_threshold`` is the cosine-distance acceptance bound and MUST be
+    calibrated to the embedder: the measured operating envelope
+    (scripts/labeler_benchmark.py, PARITY.md §re-ID labeling) is
+    inter-identity distance > base_threshold > per-clip mean deviation —
+    identities closer than the threshold collapse into one cluster."""
     clips = []
     for base, _, files in os.walk(video_root):
         clips += [os.path.join(base, f) for f in files if f.endswith(".mp4")]
@@ -411,7 +418,7 @@ def label_speakers(cfg, video_root: str, out_path: str,
             for i in range(0, len(crops), batch):
                 embs.append(embedder(np.stack(crops[i:i + batch])))
             mean = weighted_mean_embedding(np.concatenate(embs), weights)
-            sid, dist = match_speaker(known, mean)
+            sid, dist = match_speaker(known, mean, base_threshold)
             if sid < 0:
                 sid = len(known)
                 known.append(mean)
@@ -536,7 +543,8 @@ def main(argv=None):
     elif cmd == "label":
         label_speakers(cfg, kv.get("video_root", root),
                        kv.get("out", os.path.join(root, "speaker_mapping.txt")),
-                       int(kv.get("sample_rate", 5)))
+                       int(kv.get("sample_rate", 5)),
+                       base_threshold=float(kv.get("base_threshold", 0.40)))
     elif cmd == "filter-test":
         filter_test(cfg, kv.get("input_dir", os.path.join(root, cfg.audio_data_root)),
                     kv.get("out", "test_preprocessed_wavs"),

@@ -42,6 +42,8 @@ class Diffusion(nn.Module):
     # overlap across Euler iterations at the cost of program size (perf
     # knob only — identical math)
     sampler_unroll: int = 1
+    # fused GroupNorm+Mish+mask Pallas chain in the U-Net (ops/gn_mish.py)
+    fused_gn: int = 1
 
     def setup(self):
         self.estimator = GradLogPEstimator2d(
@@ -50,6 +52,7 @@ class Diffusion(nn.Module):
             spk_emb_dim=self.spk_emb_dim,
             n_feats=self.n_feats,
             pe_scale=self.pe_scale,
+            fused_gn=self.fused_gn,
             name="estimator",
         )
 

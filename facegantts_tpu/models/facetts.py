@@ -76,6 +76,7 @@ class FaceTTS(nn.Module):
     # only for smoke/dry-run configs where the fixed 224x224 trunk dominates
     syncnet_width_mult: float = 1.0
     sampler_unroll: int = 1
+    fused_gn: int = 1
 
     @staticmethod
     def from_config(cfg: Config) -> "FaceTTS":
@@ -103,6 +104,7 @@ class FaceTTS(nn.Module):
             syncnet_stride=cfg.syncnet_stride,
             syncnet_width_mult=cfg.syncnet_width_mult,
             sampler_unroll=cfg.sampler_unroll,
+            fused_gn=cfg.fused_gn_mish,
         )
 
     def setup(self):
@@ -131,6 +133,7 @@ class FaceTTS(nn.Module):
             pe_scale=self.pe_scale,
             perceptual_loss=self.perceptual_loss,
             sampler_unroll=self.sampler_unroll,
+            fused_gn=self.fused_gn,
             name="decoder",
         )
         self.syncnet = SyncNet(

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from facegantts_tpu.ops.convt import conv_transpose
+from facegantts_tpu.ops.gn_mish import gn_mish_mask
 from facegantts_tpu.ops.groupnorm import group_norm
 
 
@@ -71,18 +72,42 @@ def timestep_embedding(t: jnp.ndarray, dim: int, scale: float = 1000.0) -> jnp.n
     return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
 
 
+class _GNParams(nn.Module):
+    """Bare GroupNorm affine parameters, tree-identical to flax
+    nn.GroupNorm's {scale, bias} so torch-checkpoint importers and replica
+    parity are layout-invariant whichever Block path runs."""
+
+    channels: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("scale", nn.initializers.ones, (self.channels,)),
+            self.param("bias", nn.initializers.zeros, (self.channels,)),
+        )
+
+
 class Block(nn.Module):
-    """conv3x3 -> GroupNorm(8) -> Mish, masked (reference baseblock.py:42-51)."""
+    """conv3x3 -> GroupNorm(8) -> Mish, masked (reference baseblock.py:42-51).
+
+    With ``fused=True`` and a sequence-length vector, the post-conv chain
+    runs as ONE Pallas kernel on TPU (ops/gn_mish.py) — statistics,
+    normalize, affine, Mish and the time mask in a single lane-packed pass
+    (exact reference math everywhere, incl. the fallback path)."""
 
     dim_out: int
     groups: int = 8
+    fused: bool = False
 
     @nn.compact
-    def __call__(self, x, mask):
+    def __call__(self, x, mask, lens=None):
         x = nn.Conv(self.dim_out, (3, 3), padding="SAME", name="conv")(x * mask)
         # epsilon=1e-5: torch nn.GroupNorm's default, which the reference
         # uses (baseblock.py:46) — flax's 1e-6 default is a real (if tiny)
         # semantic mismatch that the e2e parity harness resolves
+        if self.fused and lens is not None:
+            scale, bias = _GNParams(self.dim_out, name="norm")()
+            return gn_mish_mask(x, scale, bias, lens, self.groups, 1e-5)
         x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, name="norm")(x)
         return mish(x) * mask
 
@@ -93,13 +118,14 @@ class ResnetBlock(nn.Module):
 
     dim_out: int
     groups: int = 8
+    fused: bool = False
 
     @nn.compact
-    def __call__(self, x, mask, time_emb):
-        h = Block(self.dim_out, self.groups, name="block1")(x, mask)
+    def __call__(self, x, mask, time_emb, lens=None):
+        h = Block(self.dim_out, self.groups, self.fused, name="block1")(x, mask, lens)
         temb = nn.Dense(self.dim_out, name="mlp")(mish(time_emb))
         h = h + temb[:, None, None, :].astype(h.dtype)
-        h = Block(self.dim_out, self.groups, name="block2")(h, mask)
+        h = Block(self.dim_out, self.groups, self.fused, name="block2")(h, mask, lens)
         if x.shape[-1] != self.dim_out:
             # 1x1 conv == Dense on the channel axis; XLA lowers Dense to a
             # plain MXU matmul whereas a (1,1) convolution takes the (slow)
@@ -213,10 +239,20 @@ class GradLogPEstimator2d(nn.Module):
     spk_emb_dim: int = 512
     n_feats: int = 128
     pe_scale: float = 1000.0
+    fused_gn: int = 1
 
     @nn.compact
     def __call__(self, x, mask, mu, t, spk=None):
         # x, mu: (B, F, T); mask: (B, 1, T); t: (B,); spk: (B, spk_emb_dim)
+        # The model's masks are always sequence masks (ops/align.py
+        # sequence_mask; reference model/utils.py:6), so the per-sample
+        # frame count recovers the mask exactly — it feeds the fused
+        # GroupNorm+Mish+mask Pallas chain (ops/gn_mish.py), which computes
+        # the mask in-kernel instead of reading a mask tensor.  f32 sum:
+        # a bf16 mask cannot count past 256 frames exactly.
+        lens = jnp.round(
+            jnp.sum(mask[:, 0, :].astype(jnp.float32), axis=-1)
+        ).astype(jnp.int32) if self.fused_gn else None
         temb = timestep_embedding(t, self.dim, self.pe_scale)
         temb = nn.Dense(self.dim * 4, name="mlp_1")(temb)
         temb = nn.Dense(self.dim, name="mlp_2")(mish(temb))
@@ -233,31 +269,37 @@ class GradLogPEstimator2d(nn.Module):
         dims = [self.dim * m for m in self.dim_mults]
         num_res = len(dims)
 
+        fused = bool(self.fused_gn)
         hiddens = []
         masks = [mask4]
+        lens_by_level = [lens]
         for i, d in enumerate(dims):
-            m = masks[-1]
-            h = ResnetBlock(d, self.groups, name=f"down_{i}_res1")(h, m, temb)
-            h = ResnetBlock(d, self.groups, name=f"down_{i}_res2")(h, m, temb)
+            m, ln = masks[-1], lens_by_level[-1]
+            h = ResnetBlock(d, self.groups, fused, name=f"down_{i}_res1")(h, m, temb, ln)
+            h = ResnetBlock(d, self.groups, fused, name=f"down_{i}_res2")(h, m, temb, ln)
             h = RezeroAttention(name=f"down_{i}_attn")(h)
             hiddens.append(h)
             if i < num_res - 1:
                 h = Downsample(d, name=f"down_{i}_ds")(h * m)
                 masks.append(m[:, :, ::2])
+                # stride-2 keeps positions 0,2,4,…: ceil(len/2) survive
+                lens_by_level.append(
+                    None if ln is None else (ln + 1) // 2
+                )
 
-        m_mid = masks[-1]
-        h = ResnetBlock(dims[-1], self.groups, name="mid_res1")(h, m_mid, temb)
+        m_mid, ln_mid = masks[-1], lens_by_level[-1]
+        h = ResnetBlock(dims[-1], self.groups, fused, name="mid_res1")(h, m_mid, temb, ln_mid)
         h = RezeroAttention(name="mid_attn")(h)
-        h = ResnetBlock(dims[-1], self.groups, name="mid_res2")(h, m_mid, temb)
+        h = ResnetBlock(dims[-1], self.groups, fused, name="mid_res2")(h, m_mid, temb, ln_mid)
 
         for j, i in enumerate(range(num_res - 1, 0, -1)):
-            m = masks.pop()
+            m, ln = masks.pop(), lens_by_level.pop()
             h = jnp.concatenate([h, hiddens.pop()], axis=-1)
-            h = ResnetBlock(dims[i - 1], self.groups, name=f"up_{j}_res1")(h, m, temb)
-            h = ResnetBlock(dims[i - 1], self.groups, name=f"up_{j}_res2")(h, m, temb)
+            h = ResnetBlock(dims[i - 1], self.groups, fused, name=f"up_{j}_res1")(h, m, temb, ln)
+            h = ResnetBlock(dims[i - 1], self.groups, fused, name=f"up_{j}_res2")(h, m, temb, ln)
             h = RezeroAttention(name=f"up_{j}_attn")(h)
             h = Upsample(dims[i - 1], name=f"up_{j}_us")(h * m)
 
-        h = Block(self.dim, self.groups, name="final_block")(h, mask4)
+        h = Block(self.dim, self.groups, fused, name="final_block")(h, mask4, lens)
         out = nn.Dense(1, name="final_conv")(h * mask4)  # 1x1 conv as matmul
         return (out * mask4)[..., 0]  # (B, F, T)

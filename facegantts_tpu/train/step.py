@@ -360,11 +360,12 @@ def make_gan_loss_fns(cfg: Config, model=None, disc=None):
     def sample_fake(params, model_state, mb: Batch, rng):
         """No-grad fake-mel sampler (reference @no_grad forward,
         face_tts_w_discriminator.py:163-165).  With cfg.gan_sampler_bf16
-        the 10-step reverse diffusion runs in bfloat16 — the same precision
-        the DEFAULT inference path uses (cfg.use_bf16) — and the result is
-        cast back to f32 before the f32 D/G loss math.  Measured a wash on
-        v5e (the backend already auto-bf16s conv kernels), so the default
-        stays f32 for reference parity."""
+        (the DEFAULT since r3) the 10-step reverse diffusion runs in
+        bfloat16 — the same precision the default inference path uses
+        (cfg.use_bf16) — and the result is cast back to f32 before the f32
+        D/G loss math.  r3 matrix on v5e: 1721.8 vs 1764.0 ms/step (+2.5%),
+        identical g_loss at the probe point (4.5677 under both dtypes);
+        set gan_sampler_bf16=0 for strict f32 reference parity."""
         y_bucket = mb.y.shape[-1]
         if cfg.gan_sampler_bf16:
             s_down = lambda t: _cast_floats(t, jnp.bfloat16)  # noqa: E731

@@ -504,3 +504,83 @@ def test_config_env_and_cli_overrides(monkeypatch):
     assert cfg["timesteps"] == 4 and cfg.get("missing", 9) == 9
     # derived values (reference config.py:69,145)
     assert cfg.out_size == 128 and cfg.n_feats == cfg.n_mels
+
+
+# ---------------------------------------------------------------------------
+# checksum-pinned external-weight entry points (facegantts_tpu/weights.py)
+
+
+def test_weights_pin_verify_roundtrip(tmp_path, monkeypatch):
+    """verify() refuses unpinned and mismatched files; pin() is
+    trust-on-first-use and guards re-pinning (VERDICT r3 next-step #10)."""
+    import pytest
+
+    from facegantts_tpu import weights
+
+    pins = tmp_path / "weight_pins.json"
+    monkeypatch.setattr(weights, "_PINS_PATH", str(pins))
+    f = tmp_path / "syncnet.pt"
+    f.write_bytes(b"pretend-checkpoint")
+
+    # first contact: no pin recorded -> hard refusal with instructions
+    with pytest.raises(RuntimeError, match="first contact"):
+        weights.verify("syncnet", str(f))
+    digest = weights.pin("syncnet", str(f))
+    assert weights.verify("syncnet", str(f)) == digest
+
+    # corruption -> refusal
+    f.write_bytes(b"pretend-checkpoint-tampered")
+    with pytest.raises(RuntimeError, match="mismatch"):
+        weights.verify("syncnet", str(f))
+    # re-pin requires force
+    with pytest.raises(RuntimeError, match="force"):
+        weights.pin("syncnet", str(f))
+    weights.pin("syncnet", str(f), force=True)
+    assert weights.verify("syncnet", str(f))
+
+    # unknown artifact names are rejected outright
+    with pytest.raises(KeyError):
+        weights.verify("nonsense", str(f))
+
+
+def test_weights_cli_list_and_importers_resolve(tmp_path, monkeypatch, capsys):
+    """Every registered importer must resolve to a callable, and the CLI
+    lists all four reference artifacts (SURVEY.md C27/C28)."""
+    from facegantts_tpu import weights
+
+    for name, meta in weights.ARTIFACTS.items():
+        assert callable(weights._resolve(meta["importer"])), name
+    assert set(weights.ARTIFACTS) == {
+        "facetts_lrs3", "syncnet", "hifigan_16k", "utmos22_strong"
+    }
+    monkeypatch.setattr(weights, "_PINS_PATH", str(tmp_path / "p.json"))
+    assert weights.main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "facetts_lrs3" in out and "<unpinned>" in out
+
+
+def test_labeler_quality_measured_envelope():
+    """Clustering quality of the production re-ID assignment loop on the
+    synthetic identity fixture (VERDICT r3 next-step #8; numbers recorded
+    in PARITY.md).  Healthy regime (inter-identity distance ~0.5 > base
+    threshold 0.40 > clip-mean deviation): perfect clustering.  Identities
+    closer than the base threshold collapse — the documented calibration
+    contract of label_speakers(base_threshold=...)."""
+    import numpy as np
+
+    import scripts.labeler_benchmark as lb
+
+    rng = np.random.default_rng(0)
+    # healthy: near-orthogonal identities, moderate frame noise
+    clips, n_ident, inter_d = lb.make_fixture(rng, intra_noise=0.8, inter_spread=1.0)
+    assert inter_d > 0.45
+    assignment, n_clusters = lb.run_assignment(clips)
+    purity, prec, rec, f1 = lb.score(assignment)
+    assert n_clusters == n_ident
+    assert purity == 1.0 and f1 > 0.99
+
+    # out-of-envelope: identities closer than the acceptance threshold
+    clips, n_ident, inter_d = lb.make_fixture(rng, intra_noise=0.4, inter_spread=0.4)
+    assert inter_d < 0.40  # inside the base threshold -> collapse expected
+    _, n_clusters = lb.run_assignment(clips)
+    assert n_clusters < n_ident  # documents the failure mode the threshold guards

@@ -231,3 +231,76 @@ def test_group_norm_unsupported_shapes_fall_back():
     assert not _shape_supported(x)
     y = group_norm(x, jnp.ones(96), jnp.zeros(96), 8, 1e-6)
     assert y.shape == x.shape
+
+
+# ---------------------------------------------------------------------------
+# fused GroupNorm+Mish+mask chain (ops/gn_mish.py)
+
+
+@pytest.mark.parametrize("shape", [(2, 8, 26, 64), (1, 4, 16, 128), (2, 4, 10, 256)])
+def test_gn_mish_mask_kernel_interpret(rng, shape):
+    """Fused chain kernel (interpret mode) == reference XLA chain for every
+    supported channel width, including partial-length time masks."""
+    from facegantts_tpu.ops.gn_mish import (
+        _fused_chain,
+        _shape_supported,
+        _xla_chain,
+    )
+
+    x = jnp.asarray(rng.standard_normal(shape) * 2 - 0.5, jnp.float32)
+    assert _shape_supported(x)
+    c, t = shape[-1], shape[-2]
+    scale = jnp.asarray(rng.standard_normal(c) * 0.5 + 1, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(c), jnp.float32)
+    lens = jnp.asarray([t - 3, t][: shape[0]], jnp.int32)
+    got = _fused_chain(x, scale, bias, lens, 8, 1e-5, interpret=True)
+    want = _xla_chain(x, scale, bias, lens, 8, 1e-5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
+
+
+def test_gn_mish_mask_bf16_interpret(rng):
+    from facegantts_tpu.ops.gn_mish import _fused_chain, _xla_chain
+
+    x = jnp.asarray(rng.standard_normal((2, 8, 32, 64)), jnp.bfloat16)
+    scale = jnp.asarray(rng.standard_normal(64) * 0.5 + 1, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(64), jnp.float32)
+    lens = jnp.asarray([20, 32], jnp.int32)
+    got = _fused_chain(x, scale, bias, lens, 8, 1e-5, interpret=True)
+    want = _xla_chain(x, scale, bias, lens, 8, 1e-5)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32), atol=0.05
+    )
+
+
+def test_gn_mish_mask_grad_matches_reference(rng):
+    """custom_vjp backward == autodiff through the reference chain."""
+    import jax
+
+    from facegantts_tpu.ops.gn_mish import _xla_chain, gn_mish_mask
+
+    x = jnp.asarray(rng.standard_normal((2, 4, 12, 64)), jnp.float32)
+    scale = jnp.asarray(rng.standard_normal(64) + 1, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(64), jnp.float32)
+    lens = jnp.asarray([9, 12], jnp.int32)
+
+    def f(fn, x_, s_, b_):
+        return jnp.sum(jnp.sin(fn(x_, s_, b_, lens, 8, 1e-5)))
+
+    g_got = jax.grad(lambda a, s, b: f(gn_mish_mask, a, s, b), (0, 1, 2))(
+        x, scale, bias
+    )
+    g_want = jax.grad(lambda a, s, b: f(_xla_chain, a, s, b), (0, 1, 2))(
+        x, scale, bias
+    )
+    for got, want in zip(g_got, g_want):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_gn_mish_mask_unsupported_falls_back():
+    from facegantts_tpu.ops.gn_mish import _shape_supported, gn_mish_mask
+
+    x = jnp.ones((2, 3, 5, 96), jnp.float32)
+    assert not _shape_supported(x)
+    y = gn_mish_mask(x, jnp.ones(96), jnp.zeros(96), jnp.full((2,), 5, jnp.int32), 8, 1e-5)
+    assert y.shape == x.shape
