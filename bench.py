@@ -131,9 +131,9 @@ V5E_PEAK_FLOPS = 197e12
 # that pushes past this bound is a real regression (the r2 skew-attention
 # interim hit 0.0263 and went unnoticed for half a round — BENCH_NOTES).
 RTF_REGRESSION_BOUND = 0.030
-# prior-round records for vs_prior_round deltas (BENCH_r02.json)
-PRIOR_ROUND = {"inference_rtf": 0.02013, "train_samples_per_sec": 18.28,
-               "mfu": 0.0714}
+# prior-round records for vs_prior_round deltas (BENCH_r03.json)
+PRIOR_ROUND = {"inference_rtf": 0.0190, "train_samples_per_sec": 18.58,
+               "mfu": 0.224}
 # Reference GAN-training scale: 4xA100, global batch 256, 100k steps inside
 # a 3-day SLURM window (reference config.py:132, train.sh:7) -> upper bound
 # ~0.39 steps/s = ~99 samples/s over 4 A100s = ~25 samples/s per A100.
@@ -141,9 +141,9 @@ PRIOR_ROUND = {"inference_rtf": 0.02013, "train_samples_per_sec": 18.28,
 REF_SAMPLES_PER_SEC_PER_GPU = 25.0
 
 
-def _gan_bench_setup():
-    """Build the bench-shape GAN step inputs (shared by the bench and the
-    compile-cache probe so both compile the IDENTICAL program)."""
+def _gan_bench_setup(overrides=None):
+    """Build the bench-shape GAN step inputs (the bench uses defaults; the
+    compile-cache probe passes reduced dims)."""
     import jax
     import jax.numpy as jnp
 
@@ -153,7 +153,7 @@ def _gan_bench_setup():
     from facegantts_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    cfg = default_config(env={})
+    cfg = default_config(env={}, overrides=overrides or {})
     b, tx, ty = cfg.micro_batch_size * 2, 128, 436
     rng = np.random.default_rng(0)
     batch = Batch(
@@ -170,38 +170,69 @@ def _gan_bench_setup():
 
 def gan_compile_probe():
     """Subprocess body (bench.py --compile-probe): compile the bench-shape
-    GAN step in a FRESH process and print the compile seconds.  Run before
-    the in-process bench, it makes the bench's own compile time measure the
-    CROSS-PROCESS persistent-cache hit (VERDICT r2 weak #5: nothing recorded
-    whether the TPU-side .jax_cache actually hits across driver/bench
-    invocations — a repeat 144.5 s compile in round 2 suggested it doesn't)."""
+    GAN step and print the compile seconds.  $BENCH_PROBE_CACHE_DIR, when
+    set, OVERRIDES the repo's persistent cache dir, so the parent controls
+    whether this process sees a cold or a warm cache."""
     import jax
 
-    _, state, batch, step = _gan_bench_setup()
+    cache_override = os.environ.get("BENCH_PROBE_CACHE_DIR")
+    if cache_override:
+        from facegantts_tpu.utils.cache import enable_compilation_cache
+
+        enable_compilation_cache(cache_override)
+    # Reduced-dims GAN step: the probe proves the persistent cache works
+    # ACROSS PROCESSES, which is dims-independent — and a cold FLAGSHIP
+    # compile on the axon service has been observed anywhere from 147 s
+    # (r3) to ~20 min (r4), which would eat the whole bench watchdog.
+    _, state, batch, step = _gan_bench_setup(overrides=dict(
+        n_enc_channels=96, filter_channels=384, filter_channels_dp=128,
+        n_enc_layers=3, dec_dim=32, micro_batch_size=8,
+    ))
     t0 = time.perf_counter()
     step.lower(state, batch, jax.random.PRNGKey(1)).compile()
     print(f"PROBE_COMPILE_S={time.perf_counter() - t0:.1f}", flush=True)
 
 
-def run_compile_probe() -> float:
-    """Spawn the cold-compile probe subprocess; return its compile seconds
-    (or -1 on failure).  The child finishes before the parent touches the
-    backend, so the two never contend for the device tunnel."""
-    import subprocess
+def run_compile_probe():
+    """Measure the persistent compile cache with CONTROLLED cache state:
+    two probe subprocesses share a dedicated EMPTY temp cache dir — the
+    first pays a genuine cold compile (nothing persisted anywhere it can
+    see), the second must hit the entries the first just wrote.  Returns
+    (cold_s, warm_s), -1 on failure.
 
-    try:
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--compile-probe"],
-            capture_output=True, text=True, timeout=900,
-        )
-        for line in (out.stdout or "").splitlines():
-            if line.startswith("PROBE_COMPILE_S="):
-                return float(line.split("=", 1)[1])
-        log(f"compile probe produced no timing (rc={out.returncode}): "
-            f"{(out.stderr or '')[-300:]}")
-    except Exception as e:
-        log(f"compile probe failed: {e}")
-    return -1.0
+    The r3 probe compared ONE subprocess against the in-process compile,
+    but both read the long-lived repo ``.jax_cache`` that previous rounds/
+    runs had already populated — so "cold" 31.4 s was itself a cache HIT
+    and the warm/cold ratio ~1 printed as "MISS — investigate"
+    (VERDICT r3 weak #2).  The metric was mis-constructed; the cache works.
+
+    Both children finish before the parent touches the backend, so they
+    never contend with the parent for the device tunnel."""
+    import subprocess
+    import tempfile
+
+    times = []
+    with tempfile.TemporaryDirectory(prefix="jaxcache_probe_") as tmp:
+        for label in ("cold", "warm"):
+            try:
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--compile-probe"],
+                    capture_output=True, text=True, timeout=900,
+                    env=dict(os.environ, BENCH_PROBE_CACHE_DIR=tmp),
+                )
+                got = None
+                for line in (out.stdout or "").splitlines():
+                    if line.startswith("PROBE_COMPILE_S="):
+                        got = float(line.split("=", 1)[1])
+                if got is None:
+                    log(f"{label} compile probe produced no timing "
+                        f"(rc={out.returncode}): {(out.stderr or '')[-300:]}")
+                    return -1.0, -1.0
+                times.append(got)
+            except Exception as e:
+                log(f"{label} compile probe failed: {e}")
+                return -1.0, -1.0
+    return times[0], times[1]
 
 
 def bench_gan_step(n_iters: int = 5):
@@ -327,13 +358,13 @@ def main():
     signal.signal(signal.SIGALRM, _watchdog)
     signal.alarm(int(os.environ.get("BENCH_WATCHDOG", "2700")))
 
-    # cold-compile probe BEFORE this process touches the backend (the child
-    # must finish before the parent initializes the device tunnel)
-    probe_compile_s = -1.0
+    # cold/warm compile probes BEFORE this process touches the backend (the
+    # children must finish before the parent initializes the device tunnel)
+    probe_cold_s = probe_warm_s = -1.0
     if (os.environ.get("BENCH_TRAIN", "1") == "1"
             and os.environ.get("BENCH_CACHECHECK", "1") == "1"):
         probe_backend()
-        probe_compile_s = run_compile_probe()
+        probe_cold_s, probe_warm_s = run_compile_probe()
 
     probe_backend()
     rtf = bench_inference()
@@ -367,18 +398,21 @@ def main():
             "vs_baseline": round(mfu, 4),
             "vs_prior_round": round(mfu / PRIOR_ROUND["mfu"], 3),
         })
-        if probe_compile_s > 0:
-            # cache proof: the probe subprocess paid the cold compile, so the
-            # in-process compile above should be a cross-process cache HIT
-            hit = compile_s < 0.5 * probe_compile_s
-            log(f"persistent-cache check: cold (subprocess) {probe_compile_s:.1f}s "
-                f"-> warm (this process) {compile_s:.1f}s "
+        if probe_cold_s > 0:
+            # cache proof: two subprocesses against the same initially-EMPTY
+            # cache dir — the second must hit what the first wrote.  (The
+            # in-process compile above is additionally a hit against the
+            # long-lived repo cache.)
+            hit = probe_warm_s < 0.5 * probe_cold_s
+            log(f"persistent-cache check (controlled dir): cold {probe_cold_s:.1f}s "
+                f"-> warm {probe_warm_s:.1f}s; repo-cache in-process {compile_s:.1f}s "
                 f"[{'HIT' if hit else 'MISS — investigate'}]")
             RESULTS.insert(-1, {
                 "metric": "gan_compile_warm_over_cold",
-                "value": round(compile_s / probe_compile_s, 3),
-                "unit": f"warm_s/cold_s (cold={probe_compile_s:.1f}s, warm={compile_s:.1f}s)",
-                "vs_baseline": round(probe_compile_s / max(compile_s, 1e-9), 2),
+                "value": round(probe_warm_s / probe_cold_s, 3),
+                "unit": f"warm_s/cold_s (cold={probe_cold_s:.1f}s, warm={probe_warm_s:.1f}s, "
+                        f"in-process vs repo cache={compile_s:.1f}s)",
+                "vs_baseline": round(probe_cold_s / max(probe_warm_s, 1e-9), 2),
             })
     signal.alarm(0)
     # headline metric LAST (the driver parses the final JSON line)

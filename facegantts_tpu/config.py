@@ -188,10 +188,36 @@ class Config:
     #                      sampler is no-grad and its output is cast back
     #                      to f32, so only the fake mel's rounding differs).
     sampler_unroll: int = 1  # reverse-sampler scan unroll (perf knob; same math)
-    fused_gn_mish: int = 1  # U-Net GroupNorm+Mish+mask as ONE Pallas chain
+    disc_fake_timesteps: int = -1  # reverse-diffusion steps for the TRAINING
+    #                      fake-mel sampler only (inference is untouched).
+    #                      -1 = AUTO: 4 steps when the fake is provably
+    #                      GENERATOR-INERT — the reference's fake sampler is
+    #                      no-grad (@torch.no_grad forward, face_tts.py:92),
+    #                      so with adv_grad_through_sampler/fm/pitch/energy
+    #                      all off (the reference defaults) the fake feeds
+    #                      ONLY the discriminator and generator updates are
+    #                      bit-identical under ANY T (tests/test_train.py::
+    #                      test_disc_fake_timesteps_leaves_generator_updates
+    #                      _identical); full T otherwise.  0 = always full T
+    #                      (strict reference D-telemetry parity,
+    #                      face_tts_w_discriminator.py:163); >0 = forced.
+    #                      The two full-T samplers were 47% of the step
+    #                      (BENCH_NOTES r3); AUTO-4 on v5e: 1208 vs 1709
+    #                      ms/step (+41% throughput).  What changes at T=4:
+    #                      the D trains on less-converged fakes, so d_loss/
+    #                      disc_acc/adv_loss telemetry shifts; what cannot
+    #                      change: any generator parameter, ever.
+    fused_gn_mish: int = 0  # U-Net GroupNorm+Mish+mask as ONE Pallas chain
     #                      (ops/gn_mish.py): lane-packed stats + normalize +
     #                      activation + in-kernel time mask, exact reference
-    #                      math (non-TPU platforms fall back to plain XLA)
+    #                      math (non-TPU platforms fall back to plain XLA).
+    #                      MEASURED SLOWER on v5e and kept OFF: standalone
+    #                      2.6 vs 1.0 ms/op against XLA's own fused chain
+    #                      (scripts/bench_gnmish.py) and 2782 vs 1709 ms on
+    #                      the full GAN step (bench_matrix fused/nofused,
+    #                      r4) — XLA already fuses this pattern near HBM
+    #                      speed-of-light and the pallas_call only adds
+    #                      fusion breaks + relayouts (BENCH_NOTES r4).
     micro_unroll: int = 1  # micro-batch scan unroll: >1 exposes the
     #                      INDEPENDENT micro-batch chains to the scheduler
     #                      so sampler/grad work can interleave (same math)
@@ -270,6 +296,19 @@ class Config:
     @property
     def per_gpu_batchsize(self) -> int:
         return max(1, self.batch_size // max(1, self.num_gpus))
+
+    @property
+    def train_fake_timesteps(self) -> int:
+        """Resolved T for the TRAINING fake-mel sampler (see
+        disc_fake_timesteps above): forced value, full T, or AUTO-4 when
+        the fake is provably generator-inert."""
+        if self.disc_fake_timesteps > 0:
+            return min(self.disc_fake_timesteps, self.timesteps)
+        if self.disc_fake_timesteps == 0:
+            return self.timesteps
+        inert = not (self.adv_grad_through_sampler or self.use_fm_loss
+                     or self.use_pitch_loss or self.use_energy_loss)
+        return min(4, self.timesteps) if inert else self.timesteps
 
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

@@ -1,36 +1,97 @@
 """Stationary spectral-gating denoiser.
 
-Capability equivalent of the reference's `noisereduce.reduce_noise(...,
-stationary=True, prop_decrease=f)` preprocessing step (reference
-data/lrs2_dataset.py:74-85), implemented natively: estimate a per-frequency
-stationary noise floor, build a soft sigmoid gain mask thresholded above the
-floor, smooth it over time/frequency, and attenuate by `prop_decrease`.
+Capability equivalent of the reference's ``noisereduce.reduce_noise(...,
+stationary=True, prop_decrease=f, n_fft=1024, win_length=1024,
+hop_length=160)`` preprocessing step (reference data/lrs2_dataset.py:73-84),
+implemented natively and step-for-step after noisereduce v2's
+``SpectralGateStationary``:
+
+  1. centered Hann STFT of the clip,
+  2. magnitudes to dB with the package's ``amplitude_to_db`` semantics
+     (20*log10 with amin floor, then a top_db=80 clamp below the global max),
+  3. per-frequency stationary noise threshold = mean + n_std_thresh * std of
+     the dB spectrogram over time (noise statistics come from the signal
+     itself when no explicit noise clip is given — the reference gives none),
+  4. binary mask (signal above threshold) smoothed by a normalized
+     triangular outer-product filter whose extents derive from
+     freq_mask_smooth_hz / time_mask_smooth_ms (package defaults 500 Hz /
+     50 ms),
+  5. mask mixed toward unity by ``prop_decrease`` in the LINEAR domain and
+     multiplied into the complex STFT, then inverse-STFT overlap-add.
+
 Runs offline on the host (numpy) during dataset packing — never in the
-training hot path (SURVEY.md §7 step 6)."""
+training hot path (SURVEY.md §7 step 6).  ``noisereduce`` itself is not
+installed in this image; ``scripts/make_denoise_golden.py`` generates a
+package-output golden wherever it IS available, and tests/test_aux.py pins
+both the committed golden (when present) and the behavioral envelope
+(noise-floor suppression / signal passthrough) measured in PARITY.md.
+"""
 
 import numpy as np
 
 
-def _stft(y, n_fft=2048, hop=512):
-    win = np.hanning(n_fft + 1)[:-1]
-    n_frames = 1 + max(0, -(-(len(y) - n_fft) // hop))  # ceil: cover the tail
-    pad = (n_frames - 1) * hop + n_fft - len(y)
-    y = np.pad(y, (0, max(0, pad)))
+def _hann(n):
+    # periodic Hann, matching scipy.signal.get_window("hann", n, fftbins=True)
+    return 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n) / n)
+
+
+def _stft_centered(y, n_fft, hop, win_length):
+    """Centered STFT -> (n_freq, n_frames) complex, librosa conventions."""
+    win = np.zeros(n_fft)
+    off = (n_fft - win_length) // 2
+    win[off : off + win_length] = _hann(win_length)
+    pad = n_fft // 2
+    y = np.pad(y, (pad, pad), mode="reflect")
+    n_frames = 1 + (len(y) - n_fft) // hop
     idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
     frames = y[idx] * win
-    return np.fft.rfft(frames, axis=-1), win
+    return np.fft.rfft(frames, axis=-1).T, win
 
 
-def _istft(spec, n_samples, n_fft=2048, hop=512):
-    win = np.hanning(n_fft + 1)[:-1]
-    frames = np.fft.irfft(spec, n=n_fft, axis=-1) * win
-    out = np.zeros((spec.shape[0] - 1) * hop + n_fft)
+def _istft_centered(spec, n_samples, n_fft, hop, win):
+    frames = np.fft.irfft(spec.T, n=n_fft, axis=-1) * win
+    n_frames = frames.shape[0]
+    out = np.zeros((n_frames - 1) * hop + n_fft)
     norm = np.zeros_like(out)
-    for i in range(spec.shape[0]):
+    w2 = win**2
+    for i in range(n_frames):
         out[i * hop : i * hop + n_fft] += frames[i]
-        norm[i * hop : i * hop + n_fft] += win**2
-    out = out / np.maximum(norm, 1e-8)
-    return out[:n_samples]
+        norm[i * hop : i * hop + n_fft] += w2
+    out = out / np.maximum(norm, 1e-10)
+    pad = n_fft // 2
+    return out[pad : pad + n_samples]
+
+
+def _amp_to_db(x, amin=1e-20, top_db=80.0):
+    """librosa.amplitude_to_db(ref=1.0) as used by noisereduce: global
+    top_db clamp below the array maximum."""
+    db = 20.0 * np.log10(np.maximum(amin, x))
+    return np.maximum(db, db.max() - top_db)
+
+
+def _smoothing_filter(n_grad_freq, n_grad_time):
+    """noisereduce's normalized triangular outer-product mask smoother."""
+    f = np.concatenate(
+        [np.linspace(0, 1, n_grad_freq + 1, endpoint=False),
+         np.linspace(1, 0, n_grad_freq + 2)]
+    )[1:-1]
+    t = np.concatenate(
+        [np.linspace(0, 1, n_grad_time + 1, endpoint=False),
+         np.linspace(1, 0, n_grad_time + 2)]
+    )[1:-1]
+    filt = np.outer(f, t)
+    return filt / filt.sum()
+
+
+def _conv2_same(x, k):
+    """2-D 'same' convolution via FFT (scipy.signal.fftconvolve semantics)."""
+    fy, fx = k.shape
+    out_shape = (x.shape[0] + fy - 1, x.shape[1] + fx - 1)
+    X = np.fft.rfft2(x, out_shape)
+    K = np.fft.rfft2(k, out_shape)
+    full = np.fft.irfft2(X * K, out_shape)
+    y0, x0 = (fy - 1) // 2, (fx - 1) // 2
+    return full[y0 : y0 + x.shape[0], x0 : x0 + x.shape[1]]
 
 
 def spectral_gate(
@@ -38,46 +99,40 @@ def spectral_gate(
     sr: int,
     prop_decrease: float = 0.7,
     n_std_thresh: float = 1.5,
-    n_fft: int = 2048,
-    hop: int = 512,
-    smooth_hz: float = 500.0,
-    smooth_frames: int = 4,
+    n_fft: int = 1024,
+    hop: int = 160,
+    win_length: int = None,
+    freq_mask_smooth_hz: float = 500.0,
+    time_mask_smooth_ms: float = 50.0,
 ) -> np.ndarray:
-    """Denoise a mono float waveform; stationary gate.
-
-    The noise statistics are estimated from the full clip (stationary
-    assumption, like the reference's configuration)."""
+    """Denoise a mono float waveform; stationary gate (noise statistics from
+    the full clip, exactly the reference's configuration).  Defaults match
+    the reference call: its mel-analysis n_fft/win/hop (config.py:33-35)
+    plus noisereduce's own stationary-gate defaults."""
     y = np.asarray(y, dtype=np.float64)
+    if win_length is None:
+        win_length = n_fft
     if len(y) < n_fft:
         return y.astype(np.float32)
-    spec, _ = _stft(y, n_fft, hop)
-    mag_db = 20.0 * np.log10(np.abs(spec) + 1e-12)
+    spec, win = _stft_centered(y, n_fft, hop, win_length)  # (freq, time)
+    sig_db = _amp_to_db(np.abs(spec))
 
-    noise_mean = mag_db.mean(axis=0)
-    noise_std = mag_db.std(axis=0)
-    thresh = noise_mean + n_std_thresh * noise_std
+    noise_thresh = sig_db.mean(axis=1) + n_std_thresh * sig_db.std(axis=1)
+    mask = (sig_db > noise_thresh[:, None]).astype(np.float64)
 
-    # soft sigmoid gate around the threshold (dB domain)
-    softness = 6.0
-    gain = 1.0 / (1.0 + np.exp(-(mag_db - thresh[None, :]) / softness))
+    n_grad_freq = int(freq_mask_smooth_hz / (sr / (n_fft / 2)))
+    n_grad_time = int(time_mask_smooth_ms / (hop / sr * 1000.0))
+    if not (n_grad_freq == 1 and n_grad_time == 1):
+        mask = _conv2_same(mask, _smoothing_filter(n_grad_freq, n_grad_time))
+    mask = mask * prop_decrease + (1.0 - prop_decrease)
 
-    # smooth over frequency and time
-    if smooth_hz > 0:
-        k_f = max(1, int(smooth_hz / (sr / n_fft)))
-        kernel = np.ones(k_f) / k_f
-        gain = np.apply_along_axis(lambda m: np.convolve(m, kernel, mode="same"), 1, gain)
-    if smooth_frames > 1:
-        kernel = np.ones(smooth_frames) / smooth_frames
-        gain = np.apply_along_axis(lambda m: np.convolve(m, kernel, mode="same"), 0, gain)
-
-    gain = 1.0 - prop_decrease * (1.0 - gain)
-    out = _istft(spec * gain, len(y), n_fft, hop)
+    out = _istft_centered(spec * mask, len(y), n_fft, hop, win)
     return out.astype(np.float32)
 
 
 def fade_out(y: np.ndarray, sr: int, duration_s: float = 0.05) -> np.ndarray:
     """Linear fade-out over the final `duration_s` seconds (reference
-    lrs2_dataset.py:90-92)."""
+    lrs2_dataset.py:89-91)."""
     n = min(len(y), int(sr * duration_s))
     if n <= 0:
         return y

@@ -332,11 +332,11 @@ class FaceEmbedder:
             params, stats = ck.import_syncnet_checkpoint(cfg.syncnet_ckpt)
             variables = {"params": params, "batch_stats": stats}
         else:
-            variables = model.init(
-                jax.random.PRNGKey(0),
+            variables = jax.jit(lambda r: model.init(
+                r,
                 jnp.zeros((1, cfg.image_size, cfg.image_size, 3)),
                 method=SyncNet.forward_vid,
-            )
+            ))(jax.random.PRNGKey(0))  # jitted: eager init is slow op-by-op
         self._apply = jax.jit(
             lambda img: model.apply(variables, img, method=SyncNet.forward_vid)
         )
@@ -455,7 +455,9 @@ def filter_test(cfg, input_dir: str, output_dir: str, limit: int = 2000):
     for path in paths:
         try:
             wav, sr = load_wav(path)
-            wav = spectral_gate(wav, sr, prop_decrease=cfg.denoise_factor)
+            wav = spectral_gate(wav, sr, prop_decrease=cfg.denoise_factor,
+                                n_fft=cfg.n_fft, hop=cfg.hop_len,
+                                win_length=cfg.win_len)
             actions: List[str] = []
             wav = apply_filter_chain(wav, sr, cfg, log=actions)
             wav = fade_out(wav, sr)

@@ -106,7 +106,9 @@ def pack_split(cfg: Config, split: str, shard_size: int = 512,
             continue
         wav, sr = load_wav(wav_path)
         assert sr == cfg.sample_rate, f"sampling rate must be {cfg.sample_rate}"
-        wav = spectral_gate(wav, sr, prop_decrease=cfg.denoise_factor)
+        wav = spectral_gate(wav, sr, prop_decrease=cfg.denoise_factor,
+                            n_fft=cfg.n_fft, hop=cfg.hop_len,
+                            win_length=cfg.win_len)
         wav = fade_out(wav, sr)
         wav = _apply_filters(wav, cfg)
         mel = _mel_host(wav, cfg)

@@ -132,10 +132,10 @@ def main(argv=None):
         variables = {"params": params, "batch_stats": stats}
     else:
         print("[WARN] no syncnet_ckpt — random embedder, accuracy ~ chance")
-        variables = model.init(
-            jax.random.PRNGKey(0), jnp.zeros((1, cfg.n_mels, 32, 1)),
+        variables = jax.jit(lambda r: model.init(
+            r, jnp.zeros((1, cfg.n_mels, 32, 1)),
             jnp.zeros((1, 224, 224, 3)),
-        )
+        ))(jax.random.PRNGKey(0))  # jitted: eager init is 0.4-1.4 s/op on the tunneled TPU
 
     aud = jax.jit(lambda m: model.apply(variables, m, method=SyncNet.forward_aud))
     vid = jax.jit(lambda f: model.apply(variables, f, method=SyncNet.forward_vid))

@@ -54,10 +54,10 @@ def build_syncnet_apply(cfg: Config):
         params, stats = ck.import_syncnet_checkpoint(cfg.syncnet_ckpt)
         variables = {"params": params, "batch_stats": stats}
     else:
-        variables = model.init(
-            jax.random.PRNGKey(0), jnp.zeros((1, cfg.n_mels, 32, 1)),
+        variables = jax.jit(lambda r: model.init(
+            r, jnp.zeros((1, cfg.n_mels, 32, 1)),
             method=SyncNet.forward_aud,
-        )
+        ))(jax.random.PRNGKey(0))  # jitted: eager init is 0.4-1.4 s/op on the tunneled TPU
 
     @jax.jit
     def apply(mel):

@@ -163,9 +163,13 @@ def _fused_chain(x, scale, bias, lens, num_groups: int, eps: float,
 
         @pl.when(jnp.logical_and(ph == 1, ti == 0))
         def _fold():
-            # (2*n_par, 128) @ (128, 128): per-lane group totals (one MXU op)
+            # (2*n_par, 128) @ (128, 128): per-lane group totals (one MXU op).
+            # HIGHEST precision: the default TPU matmul truncates f32 inputs
+            # to bf16, and the raw sums (~1e4-1e5) lose ~0.4% — enough to put
+            # 3e-3 of error on the normalized output (measured on v5e).
             g = jnp.dot(sums_ref[...], g_ref[...],
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
             for p in range(n_par):
                 mean = g[p, :] / n_elems
                 var = g[n_par + p, :] / n_elems - mean * mean

@@ -75,18 +75,26 @@ class Synthesizer:
             # `params` is the full variables dict (params + batch_stats).
             # The conditioning example must match cfg.spk_emb: a face image
             # or a mel clip (reference face_tts.py:108-114).
+            # UNDER JIT, like train.init_state: eager flax init dispatches
+            # the graph op-by-op, and on the tunneled TPU each tiny op costs
+            # a ~0.4-1.4 s throwaway compile that the persistent cache
+            # refuses to keep (<2 s entries) — measured 200-430 s of "cold
+            # start" per fresh process, the r3 bench's 429.9 s mystery
+            # (BENCH_NOTES r4).  One jitted init program is cacheable and
+            # cheap.
             x = jnp.ones((1, 8), jnp.int32)
             spk0 = (jnp.zeros((1, cfg.n_mels, 16))
                     if cfg.spk_emb == "speech"
                     else jnp.zeros((1, 224, 224, 3)))
-            params = self.model.init(
-                rng, x, jnp.array([8]), 2, 16, 1.0, False,
-                spk0, 1.0, rng,
-            )
+            params = jax.jit(
+                lambda r: self.model.init(
+                    r, x, jnp.array([8]), 2, 16, 1.0, False, spk0, 1.0, r,
+                )
+            )(rng)
         if vocoder_params is None:
-            vocoder_params = self.vocoder.init(rng, jnp.zeros((1, cfg.n_mels, 16)))[
-                "params"
-            ]
+            vocoder_params = jax.jit(
+                lambda r: self.vocoder.init(r, jnp.zeros((1, cfg.n_mels, 16)))
+            )(rng)["params"]
         if mesh is not None:
             from facegantts_tpu.parallel import replicated
 

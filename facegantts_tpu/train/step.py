@@ -371,9 +371,10 @@ def make_gan_loss_fns(cfg: Config, model=None, disc=None):
             s_down = lambda t: _cast_floats(t, jnp.bfloat16)  # noqa: E731
         else:
             s_down = down
+        t_train = cfg.train_fake_timesteps
         _, dec, _, _ = model.apply(
             {"params": s_down(params), **s_down(model_state)}, mb.x, mb.x_len,
-            cfg.timesteps, y_bucket, 1.0, False, s_down(mb.spk), 1.0, rng,
+            t_train, y_bucket, 1.0, False, s_down(mb.spk), 1.0, rng,
         )
         return dec.astype(jnp.float32)  # (B, F, T)
 

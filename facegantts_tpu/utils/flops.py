@@ -109,10 +109,11 @@ def gan_step_flops(cfg, ty: int, tx: int) -> Dict[str, float]:
     )
 
     n_micro = 2  # bench: per-device batch = 2 * micro_batch_size
-    step = n_micro * (prologue + cfg.timesteps * unet_eval + d_grad + g_grad)
+    t_train = cfg.train_fake_timesteps  # resolved training-fake T
+    step = n_micro * (prologue + t_train * unet_eval + d_grad + g_grad)
     return {
         "unet_eval": unet_eval,
-        "sampler": prologue + cfg.timesteps * unet_eval,
+        "sampler": prologue + t_train * unet_eval,
         "d_grad": d_grad,
         "g_grad": g_grad,
         "step": step,

@@ -33,6 +33,14 @@ CONFIGS = {
     "sbf16_unroll5": {"gan_sampler_bf16": "1", "sampler_unroll": "5"},
     "micro_unroll": {"micro_unroll": "2"},
     "micro_sbf16": {"micro_unroll": "2", "gan_sampler_bf16": "1"},
+    "nofused": {"fused_gn_mish": "0"},
+    "fused": {"fused_gn_mish": "1"},
+    "dfake_t5": {"disc_fake_timesteps": "5"},
+    "dfake_t4": {"disc_fake_timesteps": "4"},
+    "dfake_t5_nofused": {"disc_fake_timesteps": "5", "fused_gn_mish": "0"},
+    # r4: with AUTO-4 training fakes the grad phases are ~70% of the step
+    "t4_trainbf16": {"train_bf16": "1"},
+    "t4_micro2": {"micro_unroll": "2"},
 }
 
 CHILD = r"""
