@@ -92,7 +92,7 @@ def main():
     batch = synth_batch(cfg)
     print(f"device {jax.devices()[0]}; dims enc={cfg.n_enc_channels}/"
           f"{cfg.filter_channels} x{cfg.n_enc_layers}, dec={cfg.dec_dim}, "
-          f"T={cfg.timesteps}, dfake_T={cfg.disc_fake_timesteps or cfg.timesteps}, "
+          f"T={cfg.timesteps}, dfake_T={cfg.train_fake_timesteps}, "
           f"batch {N_ITEMS} = {N_ITEMS // cfg.micro_batch_size} micro",
           flush=True)
     state = init_state(cfg, jax.random.PRNGKey(0), batch)
