@@ -483,6 +483,16 @@ def make_gan_loss_fns(cfg: Config, model=None, disc=None):
             + cfg.use_pitch_loss * pitch
             + cfg.use_energy_loss * energy
         )
+        # Guard loss for the G-phase non-finite gate: with the default
+        # no-grad sampler the adv/fm/pitch/energy terms are VALUES with no
+        # generator-gradient path (stop-grad fake + reused stop-grad
+        # logits), so a saturated discriminator driving adv -> inf must NOT
+        # zero the (finite) generator gradients — measured on the r4
+        # overfit probe: at full-T fakes the D collapsed at step ~210, adv
+        # went inf, and the old g_loss-based gate FROZE the generator for
+        # the remaining 190 steps.  When adv_grad_through_sampler=1 the adv
+        # term really feeds the gradient, so the gate must include it.
+        guard = g_loss if cfg.adv_grad_through_sampler else parts.total
         metrics = {
             "adv_loss": adv,
             "fm_loss": fm,
@@ -493,6 +503,7 @@ def make_gan_loss_fns(cfg: Config, model=None, disc=None):
             "diffusion_loss": parts.diff_loss,
             "spk_loss": parts.spk_loss,
             "g_loss": g_loss,
+            "g_guard_loss": guard,
         }
         return g_loss, metrics
 
@@ -568,8 +579,9 @@ def make_gan_train_step(cfg: Config, mesh: Optional[Mesh] = None):
             # mirror the D-phase non-finite guard (reference NaN/Inf skip,
             # face_tts_w_discriminator.py:203-205, applies to BOTH phases):
             # a non-finite G loss contributes zero grads instead of
-            # poisoning the whole accumulation
-            ok_g = jnp.isfinite(g_loss)
+            # poisoning the whole accumulation.  Gate on the GRAD-CARRYING
+            # loss (g_guard_loss), not the logged g_loss — see g_loss_fn.
+            ok_g = jnp.isfinite(g_m["g_guard_loss"])
             g_grads = jax.tree.map(lambda g: jnp.where(ok_g, g, 0.0), g_grads)
             g_acc = jax.tree.map(jnp.add, g_acc, g_grads)
             metrics.update(g_m)

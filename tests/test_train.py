@@ -502,6 +502,35 @@ def test_committed_overfit_artifact_shows_learning():
     assert 0.3 < last("disc_acc") < 0.7
 
 
+def test_overfit_artifacts_generator_identical_across_fake_T():
+    """The 400-step EMPIRICAL version of the disc_fake_timesteps identity
+    proof: artifacts/overfit_metrics.jsonl (AUTO-4 fakes) and
+    artifacts/overfit_metrics_t10.jsonl (full-T fakes, disc_fake_timesteps=0)
+    are two real v5e training runs from the same seed.  Every
+    GENERATOR-side loss column must match bit-for-bit at every step —
+    the fake feeds only the discriminator — while the D telemetry columns
+    genuinely differ.  (The full-T run is also the regression fixture for
+    the g_guard_loss gate: its discriminator saturates mid-run and drives
+    adv -> inf, which must NOT freeze the generator — see train/step.py
+    g_loss_fn.)"""
+    base = os.path.join(os.path.dirname(__file__), "..", "artifacts")
+    p4 = os.path.join(base, "overfit_metrics.jsonl")
+    p10 = os.path.join(base, "overfit_metrics_t10.jsonl")
+    if not (os.path.exists(p4) and os.path.exists(p10)):
+        pytest.skip("run scripts/overfit_probe.py (default and DFAKE_T=0)")
+    r4 = [json.loads(ln) for ln in open(p4)]
+    r10 = [json.loads(ln) for ln in open(p10)]
+    assert len(r4) == len(r10) >= 300
+    gen_cols = ("diffusion_loss", "duration_loss", "prior_loss", "spk_loss")
+    for a, b in zip(r4, r10):
+        for k in gen_cols:
+            assert a[k] == b[k], (a["step"], k, a[k], b[k])
+        assert np.isfinite(a[k]) and np.isfinite(b[k])
+    # ... while the discriminator side actually sees different fakes
+    d_diff = sum(1 for a, b in zip(r4, r10) if a["d_loss"] != b["d_loss"])
+    assert d_diff > len(r4) // 2, d_diff
+
+
 def test_micro_split_rejects_indivisible_batch():
     from facegantts_tpu.train.step import _micro_split
 
