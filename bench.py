@@ -141,9 +141,11 @@ PRIOR_ROUND = {"inference_rtf": 0.0190, "train_samples_per_sec": 18.58,
 REF_SAMPLES_PER_SEC_PER_GPU = 25.0
 
 
-def _gan_bench_setup(overrides=None):
+def _gan_bench_setup(overrides=None, cache_dir=None):
     """Build the bench-shape GAN step inputs (the bench uses defaults; the
-    compile-cache probe passes reduced dims)."""
+    compile-cache probe passes reduced dims and its CONTROLLED cache dir —
+    passing None here would re-point the cache at the repo default and
+    silently turn the probe's "cold" run into a repo-cache hit)."""
     import jax
     import jax.numpy as jnp
 
@@ -152,7 +154,7 @@ def _gan_bench_setup(overrides=None):
     from facegantts_tpu.train.state import Batch
     from facegantts_tpu.utils.cache import enable_compilation_cache
 
-    enable_compilation_cache()
+    enable_compilation_cache(cache_dir)
     cfg = default_config(env={}, overrides=overrides or {})
     b, tx, ty = cfg.micro_batch_size * 2, 128, 436
     rng = np.random.default_rng(0)
@@ -176,10 +178,6 @@ def gan_compile_probe():
     import jax
 
     cache_override = os.environ.get("BENCH_PROBE_CACHE_DIR")
-    if cache_override:
-        from facegantts_tpu.utils.cache import enable_compilation_cache
-
-        enable_compilation_cache(cache_override)
     # Reduced-dims GAN step: the probe proves the persistent cache works
     # ACROSS PROCESSES, which is dims-independent — and a cold FLAGSHIP
     # compile on the axon service has been observed anywhere from 147 s
@@ -187,7 +185,7 @@ def gan_compile_probe():
     _, state, batch, step = _gan_bench_setup(overrides=dict(
         n_enc_channels=96, filter_channels=384, filter_channels_dp=128,
         n_enc_layers=3, dec_dim=32, micro_batch_size=8,
-    ))
+    ), cache_dir=cache_override)
     t0 = time.perf_counter()
     step.lower(state, batch, jax.random.PRNGKey(1)).compile()
     print(f"PROBE_COMPILE_S={time.perf_counter() - t0:.1f}", flush=True)

@@ -129,7 +129,15 @@ class Config:
     warmup_disc_epochs: int = 0
     freeze_gen_epochs: int = 0
     micro_batch_size: int = 16
-    micro_batch_size_gen: int = 16
+    micro_batch_size_gen: int = 0  # 0 = follow micro_batch_size (the
+    #                      reference's own default resolution,
+    #                      face_tts_w_discriminator.py:138).  The reference
+    #                      allows a DIFFERENT G-phase micro size; this
+    #                      framework's fused step samples each fake ONCE
+    #                      and shares it between the D and G phases, which
+    #                      requires equal micro sizes — train/step.py
+    #                      rejects an explicit unequal override rather than
+    #                      silently ignoring it.
 
     use_r1_penalty: int = 1
     r1_gamma: float = 15.0

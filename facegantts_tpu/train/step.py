@@ -517,6 +517,12 @@ def make_gan_train_step(cfg: Config, mesh: Optional[Mesh] = None):
     (epoch >= freeze_gen_epochs), use_r1 (epoch >= r1_start_epoch).
     cfg.micro_batch_size is the PER-DEVICE micro-batch (reference: per-GPU,
     config.py:112)."""
+    if cfg.micro_batch_size_gen not in (0, cfg.micro_batch_size):
+        raise ValueError(
+            "micro_batch_size_gen must equal micro_batch_size (or 0 = "
+            "follow it): the fused step samples each fake once and shares "
+            "it between the D and G phases (see config.py)."
+        )
     model, disc = build_models(cfg)
     mesh = mesh if mesh is not None else create_mesh()
     gen_tx = None
