@@ -195,6 +195,11 @@ class Config:
     #                      probe point (4.5677 under both dtypes; the
     #                      sampler is no-grad and its output is cast back
     #                      to f32, so only the fake mel's rounding differs).
+    disc_bf16: int = 0  # D-phase-only mixed precision: discriminator
+    #                      fwd/bwd and the R1 double-backward in bf16,
+    #                      f32 loss assembly and master params.  r4 matrix
+    #                      on v5e: no win (see BENCH_NOTES r4) — kept OFF;
+    #                      strict f32 D math is also the reference default.
     sampler_unroll: int = 1  # reverse-sampler scan unroll (perf knob; same math)
     disc_fake_timesteps: int = -1  # reverse-diffusion steps for the TRAINING
     #                      fake-mel sampler only (inference is untouched).

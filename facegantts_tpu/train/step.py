@@ -379,8 +379,16 @@ def make_gan_loss_fns(cfg: Config, model=None, disc=None):
         return dec.astype(jnp.float32)  # (B, F, T)
 
     def d_loss_fn(disc_params, y_real, fake, use_r1: bool):
-        disc_params = down(disc_params)
-        y_real, fake = down(y_real), down(fake)
+        if cfg.disc_bf16:
+            # D-phase-only mixed precision (experimental perf knob): the
+            # discriminator forward/backward AND the R1 double-backward run
+            # in bf16; loss/penalty assembly is f32.  Master disc params
+            # stay f32 (cast sits inside the loss, like train_bf16).
+            d_down = lambda t: _cast_floats(t, jnp.bfloat16)  # noqa: E731
+        else:
+            d_down = down
+        disc_params = d_down(disc_params)
+        y_real, fake = d_down(y_real), d_down(fake)
         if use_r1:
             # One real-input forward serves both the hinge logits and the R1
             # input-gradient (the reference runs a second discriminator
@@ -400,6 +408,9 @@ def make_gan_loss_fns(cfg: Config, model=None, disc=None):
             _, real_logits = disc.apply({"params": disc_params}, y_real[..., None])
             r1 = 0.0
         fake_fmap, fake_logits = disc.apply({"params": disc_params}, fake[..., None])
+        # loss assembly in f32 regardless of the compute dtype
+        real_logits = real_logits.astype(jnp.float32)
+        fake_logits = fake_logits.astype(jnp.float32)
         d_loss = up(_disc_loss(loss_type, real_logits, fake_logits))
         acc = up(_disc_accuracy(loss_type, real_logits, fake_logits))
         if use_r1:

@@ -41,6 +41,8 @@ CONFIGS = {
     # r4: with AUTO-4 training fakes the grad phases are ~70% of the step
     "t4_trainbf16": {"train_bf16": "1"},
     "t4_micro2": {"micro_unroll": "2"},
+    "t4_discbf16": {"disc_bf16": "1"},
+    "base_r4": {},
 }
 
 CHILD = r"""

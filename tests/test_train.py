@@ -368,6 +368,29 @@ def test_gan_train_step_bf16_runs():
 
 
 @pytest.mark.slow
+def test_gan_train_step_disc_bf16_runs():
+    """disc_bf16 (D-phase-only mixed precision incl. the R1
+    double-backward): step runs, metrics finite, and the D metrics stay in
+    the same regime as the f32 step (loose — bf16 rounding on saturating
+    logits is expected)."""
+    batch = tiny_batch()
+    outs = {}
+    for flag in ("0", "1"):
+        cfg = default_config(env=dict(TINY, use_gan="1", disc_bf16=flag))
+        state = init_state(cfg, jax.random.PRNGKey(0), batch)
+        mesh = create_mesh(jax.devices("cpu")[:1])
+        train_step, _ = make_gan_train_step(cfg, mesh)
+        _, m = train_step(state, batch, jax.random.PRNGKey(1))
+        for k, v in m.items():
+            assert np.isfinite(float(v)), (flag, k, v)
+        outs[flag] = m
+    assert float(outs["1"]["d_loss"]) == pytest.approx(
+        float(outs["0"]["d_loss"]), rel=0.1)
+    assert float(outs["1"]["r1_penalty"]) == pytest.approx(
+        float(outs["0"]["r1_penalty"]), rel=0.1)
+
+
+@pytest.mark.slow
 def test_dropout_fires_in_training_val_deterministic():
     """Training must run with dropout live (reference hardwires prenet
     dropout 0.5, model/text_encoder.py:355) while val/eval stay
