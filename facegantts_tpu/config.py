@@ -231,6 +231,11 @@ class Config:
     #                      r4) — XLA already fuses this pattern near HBM
     #                      speed-of-light and the pallas_call only adds
     #                      fusion breaks + relayouts (BENCH_NOTES r4).
+    grad_remat: int = 0  # rematerialize each loss forward during its
+    #                      backward (jax.checkpoint on the D/G loss fns):
+    #                      caps per-micro-batch live activations so
+    #                      micro_unroll>1 fits in HBM, at one extra forward
+    #                      per grad phase (same math; see BENCH_NOTES r4)
     micro_unroll: int = 1  # micro-batch scan unroll: >1 exposes the
     #                      INDEPENDENT micro-batch chains to the scheduler
     #                      so sampler/grad work can interleave (same math)

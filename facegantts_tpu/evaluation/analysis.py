@@ -12,6 +12,7 @@ All plotting is matplotlib-gated: importable without a display.
 
 import itertools
 import json
+import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -204,3 +205,50 @@ def plot_training_curves(metrics_jsonl: str, path: str, keys: Optional[Sequence[
     plt.tight_layout()
     plt.savefig(path)
     plt.close(fig)
+
+
+def collect_mos_samples(wav_paths: Sequence[str], video_root: str,
+                        target_dir: str, seed: int = 0) -> Sequence[str]:
+    """Assemble a MOS-study sample folder: copy each generated wav and
+    extract one face frame from its source video next to it (reference
+    evaluation/syncnet_inputs.py + save_face_pdf.save_random_frame_as_png —
+    minus that script's hard-coded cluster paths).
+
+    ``wav_paths`` follow the inference output layout ``.../<spk>/<clip>.wav``;
+    the matching video is ``<video_root>/<spk>/<clip>.mp4``.  Returns the
+    written face-image paths (input order), usable directly with
+    ``save_face_grid_pdf``.  Videos are read with cv2 when available; a
+    missing video or cv2 leaves a wav without a face image (warned), like
+    the reference's try/except-and-continue."""
+    import random
+    import shutil
+
+    os.makedirs(target_dir, exist_ok=True)
+    rng = random.Random(seed)
+    try:
+        import cv2
+    except ImportError:
+        cv2 = None
+    faces = []
+    for wav_path in wav_paths:
+        parts = os.path.normpath(wav_path).split(os.sep)
+        spk, clip = parts[-2], os.path.splitext(parts[-1])[0]
+        shutil.copy(wav_path, os.path.join(target_dir, f"{spk}_{clip}.wav"))
+        video = os.path.join(video_root, spk, clip + ".mp4")
+        out = os.path.join(target_dir, f"{spk}_{clip}_face.png")
+        if cv2 is None or not os.path.exists(video):
+            print(f"[WARN] no face frame for {wav_path} "
+                  f"({'no cv2' if cv2 is None else video + ' missing'})")
+            continue
+        cap = cv2.VideoCapture(video)
+        n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        if n > 0:
+            cap.set(cv2.CAP_PROP_POS_FRAMES, rng.randrange(n))
+        ok, frame = cap.read()
+        cap.release()
+        if not ok:
+            print(f"[WARN] unreadable video {video}")
+            continue
+        cv2.imwrite(out, frame)
+        faces.append(out)
+    return faces

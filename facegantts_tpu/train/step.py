@@ -563,6 +563,17 @@ def make_gan_train_step(cfg: Config, mesh: Optional[Mesh] = None):
         # U-Net is already saturated at micro-batch size, and the fused
         # scan lets XLA overlap sampler work with grad work), so each
         # micro-batch samples its own fake here.
+        # cfg.grad_remat: rematerialize each loss's forward during its
+        # backward (jax.checkpoint).  Caps the live-activation footprint of
+        # a micro-batch chain at the remat boundary, which is what
+        # micro_unroll=2 needs to fit in HBM (the plain unroll OOMs on two
+        # full-res activation chains — BENCH_NOTES r3/r4) in exchange for
+        # one extra forward per grad phase.
+        d_fn = (jax.checkpoint(d_loss_fn, static_argnums=(3,))
+                if cfg.grad_remat else d_loss_fn)
+        g_fn = (jax.checkpoint(g_loss_fn, static_argnums=(6,))
+                if cfg.grad_remat else g_loss_fn)
+
         def micro_body(carry, inp):
             d_acc, g_acc = carry
             mb, mrng = inp
@@ -572,7 +583,7 @@ def make_gan_train_step(cfg: Config, mesh: Optional[Mesh] = None):
             reuse = None
             if train_disc:
                 (d_loss, (d_m, d_reuse)), d_grads = jax.value_and_grad(
-                    d_loss_fn, has_aux=True
+                    d_fn, has_aux=True
                 )(disc_params, mb.y, fake, use_r1)
                 ok = jnp.isfinite(d_loss)
                 d_grads = jax.tree.map(lambda g: jnp.where(ok, g, 0.0), d_grads)
@@ -589,7 +600,7 @@ def make_gan_train_step(cfg: Config, mesh: Optional[Mesh] = None):
                 metrics["disc_acc"] = jnp.zeros(())
                 metrics["r1_penalty"] = jnp.zeros(())
                 metrics["d_nan_skipped"] = jnp.zeros(())
-            (g_loss, g_m), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            (g_loss, g_m), g_grads = jax.value_and_grad(g_fn, has_aux=True)(
                 params, model_state, disc_params, mb, fake, rng_g, train_disc,
                 reuse
             )

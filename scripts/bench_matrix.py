@@ -43,6 +43,8 @@ CONFIGS = {
     "t4_micro2": {"micro_unroll": "2"},
     "t4_discbf16": {"disc_bf16": "1"},
     "base_r4": {},
+    "t4_remat": {"grad_remat": "1"},
+    "t4_remat_micro2": {"grad_remat": "1", "micro_unroll": "2"},
 }
 
 CHILD = r"""

@@ -64,3 +64,51 @@ def test_epoch_progress_and_face_pdf(rng, tmp_path):
     save_face_grid_pdf(faces, p2, cols=2)
     for p in (p1, p2):
         assert os.path.getsize(p) > 1000
+
+
+def test_collect_mos_samples(tmp_path):
+    """collect_mos_samples pairs generated wavs with a face frame from the
+    source video (reference evaluation/syncnet_inputs.py flow)."""
+    import wave
+
+    import cv2
+    import numpy as np
+
+    from facegantts_tpu.evaluation.analysis import (
+        collect_mos_samples, save_face_grid_pdf,
+    )
+
+    # fake inference outputs <out>/<spk>/<clip>.wav
+    out = tmp_path / "outputs" / "spk1"
+    out.mkdir(parents=True)
+    wav_path = out / "00001.wav"
+    with wave.open(str(wav_path), "wb") as w:
+        w.setnchannels(1); w.setsampwidth(2); w.setframerate(16000)
+        w.writeframes(np.zeros(1600, np.int16).tobytes())
+    # matching video <root>/<spk>/<clip>.mp4
+    vdir = tmp_path / "videos" / "spk1"
+    vdir.mkdir(parents=True)
+    vw = cv2.VideoWriter(str(vdir / "00001.mp4"),
+                         cv2.VideoWriter_fourcc(*"mp4v"), 25, (64, 64))
+    rng = np.random.default_rng(0)
+    for _ in range(10):
+        vw.write(rng.integers(0, 255, (64, 64, 3), np.uint8))
+    vw.release()
+
+    target = tmp_path / "mos"
+    faces = collect_mos_samples([str(wav_path)], str(tmp_path / "videos"),
+                                str(target))
+    assert (target / "spk1_00001.wav").exists()
+    assert len(faces) == 1 and faces[0].endswith("spk1_00001_face.png")
+    save_face_grid_pdf(faces, str(target / "faces.pdf"))
+    assert (target / "faces.pdf").stat().st_size > 0
+
+    # missing video -> wav still collected, warn path
+    wav2 = tmp_path / "outputs" / "spk2"
+    wav2.mkdir(parents=True)
+    with wave.open(str(wav2 / "00002.wav"), "wb") as w:
+        w.setnchannels(1); w.setsampwidth(2); w.setframerate(16000)
+        w.writeframes(np.zeros(16, np.int16).tobytes())
+    faces2 = collect_mos_samples([str(wav2 / "00002.wav")],
+                                 str(tmp_path / "videos"), str(target))
+    assert faces2 == [] and (target / "spk2_00002.wav").exists()
