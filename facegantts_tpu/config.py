@@ -234,8 +234,11 @@ class Config:
     grad_remat: int = 0  # rematerialize each loss forward during its
     #                      backward (jax.checkpoint on the D/G loss fns):
     #                      caps per-micro-batch live activations so
-    #                      micro_unroll>1 fits in HBM, at one extra forward
-    #                      per grad phase (same math; see BENCH_NOTES r4)
+    #                      micro_unroll>1 (or bigger micro-batches) fit in
+    #                      HBM, at one extra forward per grad phase (same
+    #                      math).  r4 on v5e: 1485 ms (+23%) alone, 1517 ms
+    #                      with micro_unroll=2 — a capacity knob, not a
+    #                      speed knob (BENCH_NOTES r4).
     micro_unroll: int = 1  # micro-batch scan unroll: >1 exposes the
     #                      INDEPENDENT micro-batch chains to the scheduler
     #                      so sampler/grad work can interleave (same math)
