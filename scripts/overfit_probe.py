@@ -96,6 +96,11 @@ def main():
           f"batch {N_ITEMS} = {N_ITEMS // cfg.micro_batch_size} micro",
           flush=True)
     state = init_state(cfg, jax.random.PRNGKey(0), batch)
+    init_params = (state.params, state.model_state)  # for the untrained
+    # baseline of the inference-path check below (donation-safe copy)
+    import jax as _jax
+
+    init_params = _jax.tree.map(lambda a: np.asarray(a).copy(), init_params)
     step, _ = make_gan_train_step(cfg)
 
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
@@ -114,6 +119,52 @@ def main():
                     f"{k}={row[k]:.4f}" for k in
                     ("diffusion_loss", "duration_loss", "prior_loss",
                      "g_loss", "d_loss", "disc_acc")), flush=True)
+
+    # Close the loop: does the INFERENCE path reproduce what training
+    # learned?  Run the reference recipe (generate_path durations + T=10
+    # Euler) with the trained params on the training texts and measure L1
+    # to the synthetic targets over the predicted-valid region.  Written as
+    # the artifact's final line ("eval" row) and asserted by the trend test.
+    import jax.numpy as jnp
+
+    from facegantts_tpu.models.facetts import FaceTTS
+
+    model = FaceTTS.from_config(cfg)
+
+    @jax.jit
+    def synth(params, model_state, x, x_len, spk):
+        _, dec, _, y_len = model.apply(
+            {"params": params, **model_state}, x, x_len, cfg.timesteps,
+            batch.y.shape[-1], 10.0, False, spk, 1.0, jax.random.PRNGKey(7),
+        )
+        return dec, y_len
+
+    tgt = np.asarray(batch.y)
+
+    def measure(params, model_state):
+        dec, y_len = synth(params, model_state, batch.x, batch.x_len,
+                           batch.spk)
+        dec, y_len = np.asarray(dec), np.asarray(y_len)
+        l1s, dur_errs = [], []
+        for i in range(N_ITEMS):
+            n = int(min(y_len[i], TOK_LEN * FRAMES_PER_TOK))
+            l1s.append(float(np.mean(np.abs(dec[i, :, :n] - tgt[i, :, :n]))))
+            dur_errs.append(abs(int(y_len[i]) - TOK_LEN * FRAMES_PER_TOK))
+        return float(np.mean(l1s)), float(np.mean(dur_errs))
+
+    l1_un, dur_un = measure(*init_params)     # untrained baseline
+    l1_tr, dur_tr = measure(state.params, state.model_state)
+    eval_row = {"step": "eval", "synth_l1": round(l1_tr, 4),
+                "synth_l1_untrained": round(l1_un, 4),
+                "synth_dur_abs_err_frames": round(dur_tr, 2),
+                "synth_dur_abs_err_untrained": round(dur_un, 2),
+                "target_dynamic_range": round(float(tgt.max() - tgt.min()), 2)}
+    with open(out_path, "a") as f:
+        f.write(json.dumps(eval_row) + "\n")
+    print(f"\ninference-path check: mean L1 to target {l1_tr:.3f} "
+          f"(untrained {l1_un:.3f}, target range "
+          f"{eval_row['target_dynamic_range']}); duration |err| {dur_tr:.1f} "
+          f"frames (untrained {dur_un:.1f})")
 
     q = max(1, n_steps // 4)
     print("\nfirst-quartile -> last-quartile means:")

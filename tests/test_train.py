@@ -502,12 +502,25 @@ def test_committed_overfit_artifact_shows_learning():
     path = os.path.join(os.path.dirname(__file__), "..", "artifacts",
                         "overfit_metrics.jsonl")
     assert os.path.exists(path), "run scripts/overfit_probe.py to regenerate"
-    rows = [json.loads(ln) for ln in open(path)]
+    allrows = [json.loads(ln) for ln in open(path)]
+    rows = [r for r in allrows if r["step"] != "eval"]
     assert len(rows) >= 300
     for r in rows:
         for k, v in r.items():
             assert np.isfinite(v), (r["step"], k, v)
         assert r["d_nan_skipped"] == 0.0 and r["g_nan_skipped"] == 0.0
+    # the INFERENCE path reproduces what training learned (eval row written
+    # by the probe after training: reference-recipe synthesis vs the
+    # synthetic targets)
+    evals = [r for r in allrows if r["step"] == "eval"]
+    if evals:
+        e = evals[-1]
+        # trained synthesis must beat the untrained baseline decisively on
+        # BOTH mel distance and predicted duration (self-calibrating: the
+        # probe records both from the same run)
+        assert e["synth_l1"] < 0.6 * e["synth_l1_untrained"], e
+        assert (e["synth_dur_abs_err_frames"]
+                < 0.5 * e["synth_dur_abs_err_untrained"]), e
 
     q = len(rows) // 4
     first = lambda k: float(np.mean([r[k] for r in rows[:q]]))  # noqa: E731
@@ -541,8 +554,8 @@ def test_overfit_artifacts_generator_identical_across_fake_T():
     p10 = os.path.join(base, "overfit_metrics_t10.jsonl")
     if not (os.path.exists(p4) and os.path.exists(p10)):
         pytest.skip("run scripts/overfit_probe.py (default and DFAKE_T=0)")
-    r4 = [json.loads(ln) for ln in open(p4)]
-    r10 = [json.loads(ln) for ln in open(p10)]
+    r4 = [r for r in map(json.loads, open(p4)) if r["step"] != "eval"]
+    r10 = [r for r in map(json.loads, open(p10)) if r["step"] != "eval"]
     assert len(r4) == len(r10) >= 300
     gen_cols = ("diffusion_loss", "duration_loss", "prior_loss", "spk_loss")
     for a, b in zip(r4, r10):
