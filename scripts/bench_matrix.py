@@ -98,6 +98,11 @@ def main(argv=None):
     for name in names:
         env = dict(os.environ, BM_OVERRIDES=json.dumps(CONFIGS[name]),
                    BM_ITERS=n_iters)
+        # optional per-run XLA flag experiments: BM_XLA_FLAGS is appended
+        # to the child's XLA_FLAGS (unknown flags fail fast in the child)
+        if os.environ.get("BM_XLA_FLAGS"):
+            env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") + " "
+                                + os.environ["BM_XLA_FLAGS"]).strip()
         print(f"=== {name}: {CONFIGS[name]}", flush=True)
         out = subprocess.run([sys.executable, "-c", CHILD], env=env,
                              capture_output=True, text=True, timeout=3600)
