@@ -683,3 +683,36 @@ def test_train_loop_graceful_shutdown(tmp_path):
     assert signal.getsignal(signal.SIGTERM) is old
     assert 1 <= int(state.step) <= 4
     assert os.listdir(os.path.join(work, "last"))
+
+
+def test_committed_tpu_loop_artifact():
+    """The PRODUCTION loop ran end-to-end on the real chip
+    (scripts/train_loop_probe.py, committed artifacts/tpu_loop_metrics.jsonl):
+    bucketed loader feeding the fused GAN step, JSONL metric stream,
+    epoch-end validation, metric-ranked checkpointing with epoch-0 snapshot
+    and a reference-style best pointer.  Run of 2026-08-21: 60 steps at
+    ~2.2 steps/s on v5e, 4 epoch-end validations, ranked checkpoints, zero
+    non-finite micro-batches."""
+    path = os.path.join(os.path.dirname(__file__), "..", "artifacts",
+                        "tpu_loop_metrics.jsonl")
+    assert os.path.exists(path), "run scripts/train_loop_probe.py"
+    rows = [json.loads(ln) for ln in open(path)]
+    meta = rows[0]["meta"]
+    assert "TPU" in meta["device"]
+    assert len(meta["checkpoints"]) >= 2  # metric-ranked top-k retention
+    assert any(e.startswith("best_epoch_") for e in meta["work_entries"])
+    assert "snapshots" in meta["work_entries"] and "last" in meta["work_entries"]
+    train_rows = [r for r in rows[1:] if any(k.startswith("train/") for k in r)]
+    val_rows = [r for r in rows[1:] if "val/total_loss" in r]
+    assert train_rows and val_rows
+    for r in train_rows:
+        assert r["train/d_nan_skipped"] == 0.0
+        assert r["train/g_nan_skipped"] == 0.0
+        for k, v in r.items():
+            if isinstance(v, float):
+                assert np.isfinite(v), (r["step"], k)
+    assert all(np.isfinite(r["val/total_loss"]) for r in val_rows)
+    # the loop trains: D comes down off its random-init cliff and the prior
+    # loss descends across the run
+    assert train_rows[-1]["train/d_loss"] < 0.01 * train_rows[0]["train/d_loss"]
+    assert train_rows[-1]["train/prior_loss"] < 0.5 * train_rows[0]["train/prior_loss"]
