@@ -47,7 +47,11 @@ def main():
     from facegantts_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    cfg = default_config(env=NOTCH)
+    env = dict(NOTCH)
+    if os.environ.get("EVAL_INTERVAL"):
+        # exercise the in-train eval (reference StepwiseEval) on-device
+        env["eval_interval"] = os.environ["EVAL_INTERVAL"]
+    cfg = default_config(env=env)
     print(f"device {jax.devices()[0]}; loop probe {max_steps} steps, "
           f"work_dir {work}", flush=True)
     if os.path.isdir(work):
@@ -73,8 +77,10 @@ def main():
           f"checkpoints: {sorted(ckpts)}", flush=True)
     print(f"artifacts: {sorted(os.listdir(work))}", flush=True)
 
+    name = ("tpu_loop_eval_metrics.jsonl" if os.environ.get("EVAL_INTERVAL")
+            else "tpu_loop_metrics.jsonl")
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                       "artifacts", "tpu_loop_metrics.jsonl")
+                       "artifacts", name)
     meta = {"meta": {"device": str(jax.devices()[0]), "max_steps": max_steps,
                      "wall_s": round(wall, 1),
                      "checkpoints": sorted(ckpts),

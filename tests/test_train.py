@@ -716,3 +716,27 @@ def test_committed_tpu_loop_artifact():
     # loss descends across the run
     assert train_rows[-1]["train/d_loss"] < 0.01 * train_rows[0]["train/d_loss"]
     assert train_rows[-1]["train/prior_loss"] < 0.5 * train_rows[0]["train/prior_loss"]
+
+
+def test_committed_tpu_loop_eval_artifact():
+    """The in-train evaluator (reference StepwiseEval,
+    custom_callbacks.py:165-190) ran ON THE CHIP inside the loop probe
+    (EVAL_INTERVAL=20 scripts/train_loop_probe.py, 2026-08-21): at each
+    interval it synthesized val utterances with the current params and
+    computed the full offline composite (speaker similarity / F0 RMSE /
+    MCD / STFT distance / MOS proxy / mel distance) in-process — no
+    subprocess hack.  The committed artifact pins it."""
+    path = os.path.join(os.path.dirname(__file__), "..", "artifacts",
+                        "tpu_loop_eval_metrics.jsonl")
+    assert os.path.exists(path), "run EVAL_INTERVAL=20 scripts/train_loop_probe.py"
+    rows = [json.loads(ln) for ln in open(path)]
+    assert "TPU" in rows[0]["meta"]["device"]
+    evals = [r for r in rows[1:] if "eval/Composite Metric" in r]
+    assert len(evals) >= 2  # fired at multiple intervals
+    for e in evals:
+        for k in ("eval/Composite Metric", "eval/Speaker Similarity",
+                  "eval/F0 RMSE", "eval/MCD", "eval/STFT Distance",
+                  "eval/UTMOS", "eval/Mel Distance"):
+            assert k in e and np.isfinite(e[k]), (e["step"], k)
+        assert 0.0 <= e["eval/Composite Metric"] <= 1.0
+        assert e["eval/Samples"] >= 1
