@@ -77,6 +77,19 @@ class Config:
     beta_min: float = 0.05
     beta_max: float = 20.0
     pe_scale: float = 1000.0
+    unet_family: str = "parity"  # score-net family: "parity" = the
+    #                      reference U-Net shape at dims dec_dim*(1,2,4)
+    #                      over (full, /2, /4) resolution — checkpoint-
+    #                      compatible with reference weights (the default);
+    #                      "tpu_opt" = lane-aligned patchify family (2x2
+    #                      stride-2 stem + trunk at dims dec_dim*(2,4) over
+    #                      (/2, /4) + 2x2 transposed-conv head) that removes
+    #                      the C=64 full-resolution level whose f32 lane-
+    #                      padding tax capped the parity family at 24% MFU
+    #                      (BENCH_NOTES r4/r5).  A NEW model family: not
+    #                      importable from reference checkpoints, loss
+    #                      trajectory verified equivalent on the overfit
+    #                      probe (artifacts/overfit_metrics_tpuopt.jsonl).
 
     # -- syncnet ------------------------------------------------------------
     syncnet_stride: int = 1

@@ -3,4 +3,7 @@ from facegantts_tpu.models.discriminator import SpectrogramDiscriminator  # noqa
 from facegantts_tpu.models.facetts import FaceTTS, LossParts  # noqa: F401
 from facegantts_tpu.models.syncnet import SyncNet  # noqa: F401
 from facegantts_tpu.models.text_encoder import TextEncoder  # noqa: F401
-from facegantts_tpu.models.unet import GradLogPEstimator2d  # noqa: F401
+from facegantts_tpu.models.unet import (  # noqa: F401
+    GradLogPEstimator2d,
+    GradLogPEstimator2dTpuOpt,
+)

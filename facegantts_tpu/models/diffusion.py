@@ -17,7 +17,10 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from facegantts_tpu.models.unet import GradLogPEstimator2d
+from facegantts_tpu.models.unet import (
+    GradLogPEstimator2d,
+    GradLogPEstimator2dTpuOpt,
+)
 
 
 def noise_level(t, beta_min: float, beta_max: float, cumulative: bool = False):
@@ -44,8 +47,31 @@ class Diffusion(nn.Module):
     sampler_unroll: int = 1
     # fused GroupNorm+Mish+mask Pallas chain in the U-Net (ops/gn_mish.py)
     fused_gn: int = 1
+    # score-net family: "parity" = the reference U-Net shape (checkpoint-
+    # compatible); "tpu_opt" = lane-aligned patchify family (see
+    # models/unet.py GradLogPEstimator2dTpuOpt)
+    unet_family: str = "parity"
 
     def setup(self):
+        if self.unet_family == "tpu_opt":
+            # trunk dims (2*dim, 4*dim) = the parity family's own /2 and /4
+            # level widths; with the reference dec_dim=64 that is (128, 256)
+            # — every trunk activation lane-aligned on the 128-wide axis
+            self.estimator = GradLogPEstimator2dTpuOpt(
+                dim=self.dim * 2,
+                multi_spks=self.multi_spks,
+                spk_emb_dim=self.spk_emb_dim,
+                n_feats=self.n_feats,
+                pe_scale=self.pe_scale,
+                fused_gn=self.fused_gn,
+                name="estimator",
+            )
+            return
+        if self.unet_family != "parity":
+            raise ValueError(
+                f"unknown unet_family {self.unet_family!r} "
+                "(expected 'parity' or 'tpu_opt')"
+            )
         self.estimator = GradLogPEstimator2d(
             dim=self.dim,
             multi_spks=self.multi_spks,

@@ -77,6 +77,7 @@ class FaceTTS(nn.Module):
     syncnet_width_mult: float = 1.0
     sampler_unroll: int = 1
     fused_gn: int = 1
+    unet_family: str = "parity"  # "parity" | "tpu_opt" (models/unet.py)
 
     @staticmethod
     def from_config(cfg: Config) -> "FaceTTS":
@@ -105,6 +106,7 @@ class FaceTTS(nn.Module):
             syncnet_width_mult=cfg.syncnet_width_mult,
             sampler_unroll=cfg.sampler_unroll,
             fused_gn=cfg.fused_gn_mish,
+            unet_family=cfg.unet_family,
         )
 
     def setup(self):
@@ -134,6 +136,7 @@ class FaceTTS(nn.Module):
             perceptual_loss=self.perceptual_loss,
             sampler_unroll=self.sampler_unroll,
             fused_gn=self.fused_gn,
+            unet_family=self.unet_family,
             name="decoder",
         )
         self.syncnet = SyncNet(

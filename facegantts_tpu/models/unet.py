@@ -224,6 +224,126 @@ class Upsample(nn.Module):
         return conv_transpose(x, kernel, (2, 2), (1, 1)) + bias
 
 
+class GradLogPEstimator2dTpuOpt(nn.Module):
+    """TPU-optimized score-estimator family (``unet_family="tpu_opt"``).
+
+    Same capability slot as the parity U-Net below (the score net inside the
+    diffusion decoder, reference model/diffusion.py:33-148) but re-shaped
+    for the v5e memory system.  The parity family's ceiling is structural:
+    its full-resolution level carries (B, 128, T, 64) f32 activations, and
+    C=64 on the 128-wide lane axis means every elementwise/GN/attention pass
+    at full mel resolution pays a 2x HBM padding expansion (measured: hot
+    fusions at 60-75% of HBM speed-of-light, MFU capped at 24% — BENCH_NOTES
+    r3/r4; both Pallas attacks on the padding lost to XLA's own fusions).
+
+    This family removes the padded level instead of optimizing it:
+
+    - a **patchify stem** (2x2 stride-2 conv == lossless space-to-depth of
+      the [mu, x_t, spk] stack followed by a Dense) folds the (F, T) grid to
+      (F/2, T/2) with ``dim`` >= 128 channels, so EVERY trunk activation is
+      lane-aligned (C in {128, 256}) and full-resolution tensors exist only
+      as the stem input and head output;
+    - the trunk is the parity family's own /2 and /4 levels (same
+      ResnetBlock / RezeroAttention blocks, dims (dim, 2*dim) = the parity
+      dims dec_dim*(2, 4)) — capacity where the parity model had it, minus
+      the C=64 level whose work the stem now does in one conv;
+    - a **2x2 stride-2 transposed-conv head** (== Dense to 2x2x1 patches +
+      depth-to-space) restores (B, F, T) for the score output.
+
+    NOT checkpoint-compatible with the reference/parity family (new
+    parameter tree, different receptive-field ladder) — an opt-in
+    performance family, selected by ``Config.unet_family``; the parity
+    family stays the default for reference-recipe and weight-import work.
+    """
+
+    dim: int  # trunk width at /2 resolution; 128 = lane-width aligned
+    dim_mults: Sequence[int] = (1, 2)
+    groups: int = 8
+    multi_spks: int = 1
+    spk_emb_dim: int = 512
+    n_feats: int = 128
+    pe_scale: float = 1000.0
+    fused_gn: int = 0
+
+    @nn.compact
+    def __call__(self, x, mask, mu, t, spk=None):
+        # x, mu: (B, F, T); mask: (B, 1, T); t: (B,); spk: (B, spk_emb_dim)
+        b, f, tt = x.shape
+        if f % 2 or tt % 2:
+            raise ValueError(
+                f"tpu_opt U-Net needs even (F, T); got ({f}, {tt}) — mel "
+                "buckets are fix_len_compatibility'd to multiples of 4, so "
+                "this indicates a non-bucketed input"
+            )
+        temb = timestep_embedding(t, self.dim, self.pe_scale)
+        temb = nn.Dense(self.dim * 4, name="mlp_1")(temb)
+        temb = nn.Dense(self.dim, name="mlp_2")(mish(temb))
+
+        if self.multi_spks:
+            s = nn.Dense(self.spk_emb_dim * 4, name="spk_mlp_1")(spk)
+            s = nn.Dense(self.n_feats, name="spk_mlp_2")(mish(s))
+            s_map = jnp.broadcast_to(s[:, :, None], (*s.shape, x.shape[-1]))
+            h = jnp.stack([mu, x, s_map], axis=-1)  # (B, F, T, 3)
+        else:
+            h = jnp.stack([mu, x], axis=-1)
+
+        mask4 = mask[:, :, :, None]  # (B, 1, T, 1)
+        # patchify stem: one strided MXU conv does the full-resolution work
+        h = nn.Conv(
+            self.dim, (2, 2), strides=(2, 2), padding="VALID", name="stem"
+        )(h * mask4)
+
+        # half-resolution masks/lengths: stride-2 keeps positions 0,2,4,…
+        # so ceil(len/2) frames survive (same rule as Downsample below)
+        m_half = mask4[:, :, ::2]
+        lens = None
+        if self.fused_gn:
+            full = jnp.round(
+                jnp.sum(mask[:, 0, :].astype(jnp.float32), axis=-1)
+            ).astype(jnp.int32)
+            lens = (full + 1) // 2
+
+        dims = [self.dim * m for m in self.dim_mults]
+        num_res = len(dims)
+        fused = bool(self.fused_gn)
+        hiddens = []
+        masks = [m_half]
+        lens_by_level = [lens]
+        for i, d in enumerate(dims):
+            m, ln = masks[-1], lens_by_level[-1]
+            h = ResnetBlock(d, self.groups, fused, name=f"down_{i}_res1")(h, m, temb, ln)
+            h = ResnetBlock(d, self.groups, fused, name=f"down_{i}_res2")(h, m, temb, ln)
+            h = RezeroAttention(name=f"down_{i}_attn")(h)
+            hiddens.append(h)
+            if i < num_res - 1:
+                h = Downsample(d, name=f"down_{i}_ds")(h * m)
+                masks.append(m[:, :, ::2])
+                lens_by_level.append(None if ln is None else (ln + 1) // 2)
+
+        m_mid, ln_mid = masks[-1], lens_by_level[-1]
+        h = ResnetBlock(dims[-1], self.groups, fused, name="mid_res1")(h, m_mid, temb, ln_mid)
+        h = RezeroAttention(name="mid_attn")(h)
+        h = ResnetBlock(dims[-1], self.groups, fused, name="mid_res2")(h, m_mid, temb, ln_mid)
+
+        for j, i in enumerate(range(num_res - 1, 0, -1)):
+            m, ln = masks.pop(), lens_by_level.pop()
+            h = jnp.concatenate([h, hiddens.pop()], axis=-1)
+            h = ResnetBlock(dims[i - 1], self.groups, fused, name=f"up_{j}_res1")(h, m, temb, ln)
+            h = ResnetBlock(dims[i - 1], self.groups, fused, name=f"up_{j}_res2")(h, m, temb, ln)
+            h = RezeroAttention(name=f"up_{j}_attn")(h)
+            h = Upsample(dims[i - 1], name=f"up_{j}_us")(h * m)
+
+        h = Block(self.dim, self.groups, fused, name="final_block")(h, m_half, lens)
+        # unpatchify head: 2x2 stride-2 transposed conv to one channel
+        # (== Dense to 2x2x1 patches + depth-to-space)
+        kernel = self.param(
+            "head_kernel", nn.initializers.lecun_normal(), (2, 2, self.dim, 1)
+        )
+        bias = self.param("head_bias", nn.initializers.zeros, (1,))
+        out = conv_transpose(h * m_half, kernel, (2, 2), (0, 0)) + bias
+        return (out * mask4)[..., 0]  # (B, F, T)
+
+
 class GradLogPEstimator2d(nn.Module):
     """Score-estimator U-Net (reference model/diffusion.py:33-148).
 

@@ -66,16 +66,29 @@ def gan_step_flops(cfg, ty: int, tx: int) -> Dict[str, float]:
 
     # one U-Net score-estimator eval at the sampler's working shape — the
     # body of the T-step reverse scan (constructed exactly as Diffusion.setup
-    # does, models/diffusion.py:43-49; its params live at decoder/estimator)
-    from facegantts_tpu.models.unet import GradLogPEstimator2d
-
-    unet = GradLogPEstimator2d(
-        dim=cfg.dec_dim,
-        multi_spks=1 if cfg.n_spks > 1 else 0,
-        spk_emb_dim=cfg.vid_emb_dim,
-        n_feats=cfg.n_mels,
-        pe_scale=1000.0,
+    # does, models/diffusion.py — incl. the family switch; its params live
+    # at decoder/estimator)
+    from facegantts_tpu.models.unet import (
+        GradLogPEstimator2d,
+        GradLogPEstimator2dTpuOpt,
     )
+
+    if cfg.unet_family == "tpu_opt":
+        unet = GradLogPEstimator2dTpuOpt(
+            dim=cfg.dec_dim * 2,
+            multi_spks=1 if cfg.n_spks > 1 else 0,
+            spk_emb_dim=cfg.vid_emb_dim,
+            n_feats=cfg.n_mels,
+            pe_scale=1000.0,
+        )
+    else:
+        unet = GradLogPEstimator2d(
+            dim=cfg.dec_dim,
+            multi_spks=1 if cfg.n_spks > 1 else 0,
+            spk_emb_dim=cfg.vid_emb_dim,
+            n_feats=cfg.n_mels,
+            pe_scale=1000.0,
+        )
     est_params = params["decoder"]["estimator"]
     x_t = jnp.zeros((mb, cfg.n_mels, ty))
     mask = jnp.ones((mb, 1, ty))
@@ -121,14 +134,20 @@ def gan_step_flops(cfg, ty: int, tx: int) -> Dict[str, float]:
 
 
 def main():
-    """CLI for the scrubbed-CPU subprocess: prints one JSON line."""
+    """CLI for the scrubbed-CPU subprocess: prints one JSON line.
+
+    $FLOPS_OVERRIDES (JSON dict) applies config overrides — bench.py uses
+    it to audit non-default configs (e.g. unet_family=tpu_opt)."""
+    import os
+
     import jax
 
     jax.config.update("jax_platforms", "cpu")
 
     from facegantts_tpu.config import default_config
 
-    cfg = default_config(env={})
+    overrides = json.loads(os.environ.get("FLOPS_OVERRIDES", "{}"))
+    cfg = default_config(env={}, overrides=overrides)
     out = gan_step_flops(cfg, ty=436, tx=128)
     print(json.dumps({k: round(v) for k, v in out.items()}))
 

@@ -45,6 +45,13 @@ CONFIGS = {
     "base_r4": {},
     "t4_remat": {"grad_remat": "1"},
     "t4_remat_micro2": {"grad_remat": "1", "micro_unroll": "2"},
+    # r5: the lane-aligned patchify U-Net family (config.py unet_family) —
+    # the architectural lever against the parity family's C=64 f32
+    # lane-padding tax (BENCH_NOTES r4 conclusion)
+    "tpu_opt": {"unet_family": "tpu_opt"},
+    "tpu_opt_mb32": {"unet_family": "tpu_opt", "micro_batch_size": "32"},
+    "tpu_opt_tbf16": {"unet_family": "tpu_opt", "train_bf16": "1"},
+    "base_r5": {},
 }
 
 CHILD = r"""

@@ -21,6 +21,10 @@ the speaker pathway.
 Usage:  python scripts/overfit_probe.py [n_steps=400] [out.jsonl]
         DFAKE_T=5 python scripts/overfit_probe.py 400 artifacts/overfit_metrics_t5.jsonl
                   (quality-delta probe for cfg.disc_fake_timesteps)
+        UNET_FAMILY=tpu_opt python scripts/overfit_probe.py 400 \
+            artifacts/overfit_metrics_tpuopt.jsonl
+                  (loss-trajectory equivalence probe for the lane-aligned
+                   score-net family, config.py unet_family)
 """
 
 import json
@@ -88,10 +92,13 @@ def main():
     env = dict(NOTCH)
     if os.environ.get("DFAKE_T"):
         env["disc_fake_timesteps"] = os.environ["DFAKE_T"]
+    if os.environ.get("UNET_FAMILY"):
+        env["unet_family"] = os.environ["UNET_FAMILY"]
     cfg = default_config(env=env)
     batch = synth_batch(cfg)
     print(f"device {jax.devices()[0]}; dims enc={cfg.n_enc_channels}/"
           f"{cfg.filter_channels} x{cfg.n_enc_layers}, dec={cfg.dec_dim}, "
+          f"family={cfg.unet_family}, "
           f"T={cfg.timesteps}, dfake_T={cfg.train_fake_timesteps}, "
           f"batch {N_ITEMS} = {N_ITEMS // cfg.micro_batch_size} micro",
           flush=True)

@@ -136,6 +136,95 @@ def test_diffusion_loss_and_sampler(keys):
         np.asarray(out_u), np.asarray(out), rtol=1e-4, atol=1e-4)
 
 
+def test_tpu_opt_unet_shapes_and_masking(keys):
+    """tpu_opt family (models/unet.py GradLogPEstimator2dTpuOpt): same
+    (B, F, T) -> (B, F, T) score-net contract as the parity family, with
+    lane-aligned trunk activations behind a 2x2 patchify stem."""
+    from facegantts_tpu.models import GradLogPEstimator2dTpuOpt
+
+    net = GradLogPEstimator2dTpuOpt(dim=16, n_feats=32, spk_emb_dim=8)
+    b, f, t = 2, 32, 16
+    x = jax.random.normal(keys[0], (b, f, t))
+    mu = jax.random.normal(keys[1], (b, f, t))
+    mask = jnp.ones((b, 1, t))
+    tt = jnp.array([0.3, 0.7])
+    spk = jax.random.normal(keys[2], (b, 8))
+    params = net.init(keys[3], x, mask, mu, tt, spk)
+    out = net.apply(params, x, mask, mu, tt, spk)
+    assert out.shape == (b, f, t)
+    assert np.isfinite(np.asarray(out)).all()
+    # time-masked frames are zero (full-resolution output mask)
+    mask2 = mask.at[:, :, 8:].set(0.0)
+    out2 = net.apply(params, x, mask2, mu, tt, spk)
+    np.testing.assert_array_equal(np.asarray(out2[:, :, 8:]), 0.0)
+    # odd (F, T) is a hard error, not silent truncation
+    with pytest.raises(ValueError, match="even"):
+        net.init(keys[3], x[:, :, :15], mask[:, :, :15], mu[:, :, :15], tt, spk)
+    # gradients flow and are finite
+    g = jax.grad(
+        lambda p: jnp.sum(net.apply(p, x, mask, mu, tt, spk) ** 2)
+    )(params)
+    leaves = jax.tree.leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+    assert any(float(np.abs(np.asarray(l)).max()) > 0 for l in leaves)
+
+
+@pytest.mark.slow
+def test_tpu_opt_family_in_diffusion_and_train_step(keys):
+    """unet_family="tpu_opt" wires through Diffusion/FaceTTS/config and the
+    fused GAN train step; loss finite, params update, sampler runs."""
+    from facegantts_tpu.train import Batch, init_state, make_gan_train_step
+
+    cfg = default_config(env={}, overrides=dict(
+        n_enc_channels=16, filter_channels=32, filter_channels_dp=16,
+        n_enc_layers=1, dec_dim=8, vid_emb_dim=32, use_gan=1,
+        micro_batch_size=2, timesteps=2, learning_rate=1e-4,
+        spk_emb="speech", syncnet_width_mult=0.125,
+        disc_base_channels=8, disc_num_layers=2, kernel_height=5,
+        kernel_width=3, unet_family="tpu_opt",
+    ))
+    b, tx, ty = 8, 8, 32
+    rng = np.random.default_rng(0)
+    batch = Batch(
+        x=jnp.asarray(rng.integers(1, 100, (b, tx)), jnp.int32),
+        x_len=jnp.asarray(np.full(b, tx), jnp.int32),
+        y=jnp.asarray(rng.standard_normal((b, cfg.n_mels, ty)), jnp.float32),
+        y_len=jnp.asarray([32, 30, 27, 20, 32, 31, 16, 8], jnp.int32),
+        spk=jnp.asarray(rng.standard_normal((b, cfg.n_mels, ty)), jnp.float32),
+    )
+    state = init_state(cfg, jax.random.PRNGKey(0), batch)
+    # the tpu_opt estimator has its own parameter tree (stem/head)
+    est = state.params["decoder"]["estimator"]
+    assert "stem" in est and "head_kernel" in est
+    assert "final_conv" not in est  # parity-only head
+    step, _ = make_gan_train_step(cfg)
+    before = jax.tree.map(np.asarray, state.params["decoder"])
+    state, m = step(state, batch, jax.random.PRNGKey(1))
+    assert all(np.isfinite(float(v)) for v in m.values()), m
+    after = state.params["decoder"]
+    moved = any(
+        float(np.abs(np.asarray(a) - b).max()) > 0
+        for a, b in zip(jax.tree.leaves(after), jax.tree.leaves(before))
+    )
+    assert moved, "tpu_opt decoder params did not update"
+
+
+def test_unknown_unet_family_rejected(keys):
+    model = FaceTTS(
+        n_vocab=149, n_feats=32, n_enc_channels=8, filter_channels=16,
+        filter_channels_dp=8, n_heads=2, n_enc_layers=1, enc_kernel=3,
+        enc_dropout=0.0, window_size=4, dec_dim=8, beta_min=0.05,
+        beta_max=20.0, pe_scale=1000.0, vid_emb_dim=16, out_size=32,
+        unet_family="nope",
+    )
+    with pytest.raises(ValueError, match="unet_family"):
+        model.init(
+            jax.random.PRNGKey(0), jnp.ones((1, 4), jnp.int32),
+            jnp.array([4]), 2, 16, 1.0, False,
+            jnp.zeros((1, 224, 224, 3)), 1.0, jax.random.PRNGKey(1),
+        )
+
+
 def test_syncnet_embeddings(keys):
     net = SyncNet(n_out=64)
     mel = jax.random.normal(keys[0], (2, 128, 40, 1))
