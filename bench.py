@@ -131,9 +131,9 @@ V5E_PEAK_FLOPS = 197e12
 # that pushes past this bound is a real regression (the r2 skew-attention
 # interim hit 0.0263 and went unnoticed for half a round — BENCH_NOTES).
 RTF_REGRESSION_BOUND = 0.030
-# prior-round records for vs_prior_round deltas (BENCH_r03.json)
-PRIOR_ROUND = {"inference_rtf": 0.0190, "train_samples_per_sec": 18.58,
-               "mfu": 0.224}
+# prior-round records for vs_prior_round deltas (BENCH_r04.json)
+PRIOR_ROUND = {"inference_rtf": 0.01894, "train_samples_per_sec": 26.62,
+               "mfu": 0.2417}
 # Reference GAN-training scale: 4xA100, global batch 256, 100k steps inside
 # a 3-day SLURM window (reference config.py:132, train.sh:7) -> upper bound
 # ~0.39 steps/s = ~99 samples/s over 4 A100s = ~25 samples/s per A100.
@@ -141,33 +141,89 @@ PRIOR_ROUND = {"inference_rtf": 0.0190, "train_samples_per_sec": 18.58,
 REF_SAMPLES_PER_SEC_PER_GPU = 25.0
 
 
-def _gan_bench_setup(overrides=None, cache_dir=None):
-    """Build the bench-shape GAN step inputs (the bench uses defaults; the
-    compile-cache probe passes reduced dims and its CONTROLLED cache dir —
-    passing None here would re-point the cache at the repo default and
-    silently turn the probe's "cold" run into a repo-cache hit)."""
-    import jax
+def _gan_batch(cfg, tx: int, ty: int):
     import jax.numpy as jnp
 
-    from facegantts_tpu.config import default_config
-    from facegantts_tpu.train import init_state, make_gan_train_step
     from facegantts_tpu.train.state import Batch
-    from facegantts_tpu.utils.cache import enable_compilation_cache
 
-    enable_compilation_cache(cache_dir)
-    cfg = default_config(env={}, overrides=overrides or {})
-    b, tx, ty = cfg.micro_batch_size * 2, 128, 436
+    b = cfg.micro_batch_size * 2
     rng = np.random.default_rng(0)
-    batch = Batch(
+    return Batch(
         x=jnp.asarray(rng.integers(1, 148, (b, tx)), jnp.int32),
         x_len=jnp.asarray(np.full(b, tx), jnp.int32),
         y=jnp.asarray(rng.standard_normal((b, cfg.n_mels, ty)), jnp.float32),
         y_len=jnp.asarray(np.full(b, ty), jnp.int32),
         spk=jnp.asarray(rng.standard_normal((b, 224, 224, 3)), jnp.float32),
     )
+
+
+def _gan_bench_setup(overrides=None, cache_dir=None, tx: int = 128,
+                     ty: int = 436):
+    """Build the bench-shape GAN step inputs (the bench uses defaults; the
+    compile-cache probe passes reduced dims and its CONTROLLED cache dir —
+    passing None here would re-point the cache at the repo default and
+    silently turn the probe's "cold" run into a repo-cache hit)."""
+    import jax
+
+    from facegantts_tpu.config import default_config
+    from facegantts_tpu.train import init_state, make_gan_train_step
+    from facegantts_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache(cache_dir)
+    cfg = default_config(env={}, overrides=overrides or {})
+    batch = _gan_batch(cfg, tx, ty)
     state = init_state(cfg, jax.random.PRNGKey(0), batch)
     step, _ = make_gan_train_step(cfg)
     return cfg, state, batch, step
+
+
+# Epoch-realistic bucket mix: (tx, ty, sample_fraction) over the repo's
+# static buckets (config.py:303-304).  The fractions are the DOCUMENTED
+# ASSUMPTION for LRS2 main-split utterance lengths: clips <1.3 s are
+# rejected upstream (reference reformat_data.py:71-79) and the main split
+# tops out around 6 s with most utterances in the 2-4.5 s band, so mel
+# frames (hop 160 @ 16 kHz = 10 ms) concentrate in the 256/436 buckets.
+# Replace the fractions with measured histogram counts when packing a real
+# corpus (data/preprocess.py prints the bucket histogram).
+BUCKET_MIX = (
+    (64, 256, 0.40),
+    (128, 436, 0.35),
+    (192, 656, 0.18),
+    (256, 872, 0.07),
+)
+
+
+def bench_bucket_mix(n_iters: int = 5, overrides=None):
+    """GAN-step throughput across the real bucket matrix + the
+    mix-weighted aggregate (VERDICT r4 next #4: the single-bucket headline
+    must survive a realistic epoch mix).  Weighted aggregate = samples
+    drawn from BUCKET_MIX fractions: 1 / sum(f_i / sps_i)."""
+    import jax
+
+    cfg, state, _, step = _gan_bench_setup(overrides=overrides)
+    per_bucket = []
+    for tx, ty, frac in BUCKET_MIX:
+        batch = _gan_batch(cfg, tx, ty)
+        b = batch.x.shape[0]
+        t0 = time.perf_counter()
+        state, m = step(state, batch, jax.random.PRNGKey(1))
+        float(m["g_loss"])
+        log(f"bucket (tx={tx}, ty={ty}): compile+first {time.perf_counter()-t0:.1f}s")
+        times = []
+        for i in range(n_iters):
+            t0 = time.perf_counter()
+            state, m = step(state, batch, jax.random.PRNGKey(i))
+            float(m["g_loss"])
+            times.append(time.perf_counter() - t0)
+        sec = float(np.median(times))
+        sps = b / sec
+        per_bucket.append((tx, ty, frac, sps))
+        log(f"bucket (tx={tx:3d}, ty={ty:3d}, frac={frac:.2f}): "
+            f"{sec*1000:.0f} ms -> {sps:.1f} samples/s")
+    agg = 1.0 / sum(f / sps for _, _, f, sps in per_bucket)
+    log(f"bucket-mix weighted aggregate: {agg:.1f} samples/s "
+        "(per-sample time averaged over the documented LRS2 length mix)")
+    return agg, per_bucket
 
 
 def gan_compile_probe():
@@ -233,13 +289,15 @@ def run_compile_probe():
     return times[0], times[1]
 
 
-def bench_gan_step(n_iters: int = 5):
+def bench_gan_step(n_iters: int = 5, overrides=None, label: str = ""):
     """Full GAN train step at the reference's per-device scale: batch 32
     (2 micro-batches of cfg.micro_batch_size=16), full-length ty=436, T=10,
-    R1 on.  Returns (samples_per_sec, step_seconds, mfu, compile_seconds)."""
+    R1 on.  ``overrides`` selects non-default configs (the tpu_opt row
+    passes unet_family).  Returns (samples_per_sec, step_seconds, mfu,
+    compile_seconds)."""
     import jax
 
-    cfg, state, batch, step = _gan_bench_setup()
+    cfg, state, batch, step = _gan_bench_setup(overrides=overrides)
     b = batch.x.shape[0]
     tx, ty = batch.x.shape[1], batch.y.shape[-1]
 
@@ -250,6 +308,16 @@ def bench_gan_step(n_iters: int = 5):
     compiled = lowered.compile()
     compile_s = time.perf_counter() - t0
     log(f"GAN step compile: {compile_s:.1f}s")
+    if compile_s > 120.0:
+        # On a warm repo cache this compile is ~15-30 s; minutes means the
+        # repo .jax_cache had no entry for the flagship program (fresh
+        # checkout / changed config) and this was a true cold compile — on
+        # the axon service those have measured 147 s to ~20 min, which eats
+        # into the BENCH_WATCHDOG budget (default 2700 s).  Flag it so the
+        # "in-process vs repo cache" number isn't misread as a warm time.
+        log(f"WARNING: in-process GAN-step compile took {compile_s:.0f}s — "
+            "repo-cache MISS (cold flagship compile); raise BENCH_WATCHDOG "
+            "for fresh-cache runs")
     flops = None
     try:
         ca = compiled.cost_analysis()
@@ -271,9 +339,14 @@ def bench_gan_step(n_iters: int = 5):
     try:
         from facegantts_tpu.utils.hostenv import cpu_subprocess_env
 
+        child_env = cpu_subprocess_env(
+            1, repo_root=os.path.dirname(os.path.abspath(__file__))
+        )
+        if overrides:
+            child_env["FLOPS_OVERRIDES"] = json.dumps(overrides)
         out = subprocess.run(
             [sys.executable, "-m", "facegantts_tpu.utils.flops"],
-            env=cpu_subprocess_env(1, repo_root=os.path.dirname(os.path.abspath(__file__))),
+            env=child_env,
             capture_output=True, text=True, timeout=900,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
@@ -297,7 +370,8 @@ def bench_gan_step(n_iters: int = 5):
     sec = float(np.median(times))
     sps = b / sec
     mfu = (flops / sec / V5E_PEAK_FLOPS) if flops else 0.0
-    log(f"GAN train step: {sec*1000:.0f} ms (batch {b}, tx={tx}, ty={ty}, "
+    log(f"GAN train step{label and f' [{label}]'}: {sec*1000:.0f} ms "
+        f"(batch {b}, tx={tx}, ty={ty}, "
         f"T={cfg.timesteps}, R1 on) -> {1.0/sec:.3f} steps/s, {sps:.1f} samples/s")
     if flops:
         src = "audited" if audited else "XLA-counted (while bodies x1!)"
@@ -381,21 +455,57 @@ def main():
     if os.environ.get("BENCH_BATCH", "0") == "1":
         bench_batch_throughput()
     if os.environ.get("BENCH_TRAIN", "1") == "1":
-        sps, sec, mfu, compile_s = bench_gan_step()
+        # parity family: the reference-checkpoint-compatible U-Net (r1-r4
+        # continuity row)
+        sps_par, sec_par, mfu_par, compile_s = bench_gan_step(label="parity")
+        # tpu_opt family: the lane-aligned patchify U-Net (config.py
+        # unet_family) — the framework's fast training configuration and
+        # the HEADLINE train metric from r5 on
+        sps, sec, mfu, _ = bench_gan_step(
+            overrides={"unet_family": "tpu_opt"}, label="tpu_opt"
+        )
         RESULTS.insert(-1, {
             "metric": "train_samples_per_sec",
             "value": round(sps, 2),
-            "unit": "samples/s@batch32",
+            "unit": "samples/s@batch32,unet_family=tpu_opt",
             "vs_baseline": round(sps / REF_SAMPLES_PER_SEC_PER_GPU, 3),
             "vs_prior_round": round(sps / PRIOR_ROUND["train_samples_per_sec"], 3),
         })
         RESULTS.insert(-1, {
+            "metric": "train_samples_per_sec_parity",
+            "value": round(sps_par, 2),
+            "unit": "samples/s@batch32,unet_family=parity",
+            "vs_baseline": round(sps_par / REF_SAMPLES_PER_SEC_PER_GPU, 3),
+            "vs_prior_round": round(
+                sps_par / PRIOR_ROUND["train_samples_per_sec"], 3),
+        })
+        RESULTS.insert(-1, {
             "metric": "mfu",
             "value": round(mfu, 4),
-            "unit": "fraction_of_v5e_bf16_peak",
+            "unit": "fraction_of_v5e_bf16_peak,unet_family=tpu_opt",
             "vs_baseline": round(mfu, 4),
             "vs_prior_round": round(mfu / PRIOR_ROUND["mfu"], 3),
         })
+        RESULTS.insert(-1, {
+            "metric": "mfu_parity",
+            "value": round(mfu_par, 4),
+            "unit": "fraction_of_v5e_bf16_peak,unet_family=parity",
+            "vs_baseline": round(mfu_par, 4),
+            "vs_prior_round": round(mfu_par / PRIOR_ROUND["mfu"], 3),
+        })
+        if os.environ.get("BENCH_BUCKET_MIX", "1") == "1":
+            try:
+                agg, _ = bench_bucket_mix(
+                    overrides={"unet_family": "tpu_opt"}
+                )
+                RESULTS.insert(-1, {
+                    "metric": "train_samples_per_sec_bucket_mix",
+                    "value": round(agg, 2),
+                    "unit": "samples/s,LRS2-length-mix,unet_family=tpu_opt",
+                    "vs_baseline": round(agg / REF_SAMPLES_PER_SEC_PER_GPU, 3),
+                })
+            except Exception as e:
+                log(f"bucket-mix bench failed ({e}); row omitted")
         if probe_cold_s > 0:
             # cache proof: two subprocesses against the same initially-EMPTY
             # cache dir — the second must hit what the first wrote.  (The

@@ -204,6 +204,72 @@ def test_gan_step_data_parallel_cpu_mesh():
 
 
 @pytest.mark.slow
+def test_gan_step_collective_audit():
+    """HLO collective audit for the scale-out dossier (VERDICT r4 next #3):
+    the fused GAN step over a 4-device mesh must contain NO collectives
+    inside any While body (the micro-batch scan and the sampler scan are
+    purely local — one pmean per grad tree AFTER the scan, train/step.py
+    local_gan_grads), and only a small number of top-level all-reduces
+    (XLA's combiner merges the d-tree/g-tree/metrics pmeans; what matters
+    for scaling is that the count is O(1) per step, NOT O(n_micro) or
+    O(T_sampler))."""
+    import re
+
+    cpus = jax.devices("cpu")
+    if len(cpus) < 4:
+        pytest.skip("needs virtual CPU devices")
+    cfg = default_config(env=dict(TINY, use_gan="1", micro_batch_size="2"))
+    mesh = create_mesh(cpus[:4])
+    batch = tiny_batch(b=8)  # 2 rows/device = 1 micro-batch... use 2 micro
+    state = init_state(cfg, jax.random.PRNGKey(0), batch)
+    state = shard_state(mesh, state)
+    batch = shard_batch(mesh, batch)
+    train_step, _ = make_gan_train_step(cfg, mesh)
+    compiled = train_step.lower(state, batch, jax.random.PRNGKey(1)).compile()
+    hlo = compiled.as_text()
+
+    # map computation name -> its body text (optimized HLO groups each
+    # computation as "name { ... ROOT ... }")
+    comps = {}
+    cur, buf = None, []
+    for line in hlo.splitlines():
+        m = re.match(r"^\s*(%?[\w\.\-]+)\s*(?:\([^)]*\))?.*\{\s*$", line)
+        if cur is None and m and "{" in line:
+            cur, buf = m.group(1), []
+            continue
+        if cur is not None:
+            if line.strip() == "}":
+                comps[cur] = "\n".join(buf)
+                cur = None
+            else:
+                buf.append(line)
+
+    # while bodies/conditions referenced by while instructions
+    while_comps = set()
+    for body in comps.values():
+        for m in re.finditer(r"(?:body|condition)=%?([\w\.\-]+)", body):
+            while_comps.add(m.group(1))
+    assert while_comps, "expected at least one While (micro-batch scan)"
+
+    def _n_allreduce(text):
+        return len(re.findall(r"\ball-reduce(?:-start)?\(", text))
+
+    in_while = sum(
+        _n_allreduce(comps.get(name, "")) for name in while_comps
+    )
+    total = _n_allreduce(hlo)
+    assert in_while == 0, (
+        f"{in_while} all-reduce(s) inside While bodies — a collective got "
+        "scheduled per micro-batch/sampler step; scaling would serialize"
+    )
+    assert total >= 1, "no all-reduce at all — grads are not being pmean'd?"
+    assert total <= 8, (
+        f"{total} top-level all-reduces — expected O(1) combined reduces "
+        "for (d_grads, g_grads, metrics)"
+    )
+
+
+@pytest.mark.slow
 def test_disc_fake_timesteps_leaves_generator_updates_identical():
     """cfg.disc_fake_timesteps (training-fake sampler T < inference T, the
     r4 throughput flag) provably cannot change the GENERATOR's training
@@ -538,6 +604,56 @@ def test_committed_overfit_artifact_shows_learning():
     assert 0.3 < last("disc_acc") < 0.7
 
 
+def test_committed_tpu_opt_overfit_artifact():
+    """Loss-trajectory equivalence for the lane-aligned tpu_opt family
+    (VERDICT r4 next #1): artifacts/overfit_metrics_tpuopt.jsonl is the
+    SAME 400-step overfit probe as the committed parity artifact but with
+    unet_family=tpu_opt (UNET_FAMILY=tpu_opt scripts/overfit_probe.py) on
+    the real v5e chip.  The new family is a different parameter tree, so
+    bit-identity is not expected — what must hold is that it LEARNS the
+    same task with the same qualitative trajectory and an endpoint within
+    family-noise of the parity run's."""
+    base = os.path.join(os.path.dirname(__file__), "..", "artifacts")
+    p_opt = os.path.join(base, "overfit_metrics_tpuopt.jsonl")
+    p_par = os.path.join(base, "overfit_metrics.jsonl")
+    if not os.path.exists(p_opt):
+        pytest.skip("run UNET_FAMILY=tpu_opt scripts/overfit_probe.py")
+    allrows = [json.loads(ln) for ln in open(p_opt)]
+    rows = [r for r in allrows if r["step"] != "eval"]
+    assert len(rows) >= 300
+    for r in rows:
+        assert r["d_nan_skipped"] == 0.0 and r["g_nan_skipped"] == 0.0
+
+    q = len(rows) // 4
+    first = lambda k: float(np.mean([r[k] for r in rows[:q]]))  # noqa: E731
+    last = lambda k: float(np.mean([r[k] for r in rows[-q:]]))  # noqa: E731
+    # same qualitative trajectory as the parity artifact's assertions
+    assert last("diffusion_loss") < 0.5 * first("diffusion_loss")
+    assert last("duration_loss") < 0.5 * first("duration_loss")
+    assert last("prior_loss") < 0.7 * first("prior_loss")
+    assert last("g_loss") < 0.6 * first("g_loss")
+    # endpoint equivalence vs the committed parity run: final-quartile
+    # diffusion loss within 2x of the parity family's AND below 0.2
+    # absolute (committed runs: tpu_opt 0.113 vs parity 0.066 — at the
+    # probe's notch dims (dec_dim=32) the tpu_opt trunk is C=(64,128),
+    # a smaller capacity ratio than the flagship C=(128,256), and the
+    # per-step diffusion loss is high-variance in sampled t; both runs
+    # close the inference path by >10x vs untrained)
+    assert last("diffusion_loss") < 0.2, last("diffusion_loss")
+    if os.path.exists(p_par):
+        par_rows = [r for r in map(json.loads, open(p_par))
+                    if r["step"] != "eval"]
+        par_last = float(np.mean(
+            [r["diffusion_loss"] for r in par_rows[-len(par_rows) // 4:]]))
+        assert last("diffusion_loss") < 2.0 * max(par_last, 0.01), (
+            last("diffusion_loss"), par_last)
+    # inference-path closure, same criterion as the parity artifact
+    evals = [r for r in allrows if r["step"] == "eval"]
+    if evals:
+        e = evals[-1]
+        assert e["synth_l1"] < 0.6 * e["synth_l1_untrained"], e
+
+
 def test_overfit_artifacts_generator_identical_across_fake_T():
     """The 400-step EMPIRICAL version of the disc_fake_timesteps identity
     proof: artifacts/overfit_metrics.jsonl (AUTO-4 fakes) and
@@ -561,7 +677,7 @@ def test_overfit_artifacts_generator_identical_across_fake_T():
     for a, b in zip(r4, r10):
         for k in gen_cols:
             assert a[k] == b[k], (a["step"], k, a[k], b[k])
-        assert np.isfinite(a[k]) and np.isfinite(b[k])
+            assert np.isfinite(a[k]) and np.isfinite(b[k]), (a["step"], k)
     # ... while the discriminator side actually sees different fakes
     d_diff = sum(1 for a, b in zip(r4, r10) if a["d_loss"] != b["d_loss"])
     assert d_diff > len(r4) // 2, d_diff
