@@ -1,8 +1,14 @@
-"""Worker process for the two-process ``jax.distributed`` test.
+"""Worker process for the two-process ``jax.distributed`` tests.
 
-Run as ``python tests/_mp_worker.py <process_id> <num_processes> <port>``
-inside an env produced by ``facegantts_tpu.utils.hostenv.cpu_subprocess_env``
-(pure-CPU platform, N virtual devices per process).
+Run as ``python tests/_mp_worker.py <process_id> <num_processes> <port>
+[mode]`` inside an env produced by
+``facegantts_tpu.utils.hostenv.cpu_subprocess_env`` (pure-CPU platform, N
+virtual devices per process).  ``mode`` is one of:
+
+- ``plain`` (default): one jitted plain train step (no GAN),
+- ``gan``: the full fused GAN step — two optimizers, micro-batch scan,
+  R1 penalty, BOTH grad trees pmean'd across the 2-process mesh,
+- ``gan_fsdp``: the GAN step with cfg.fsdp=1 (ZeRO state layout).
 
 Each process:
 1. joins the jax.distributed runtime (gloo CPU collectives),
@@ -11,18 +17,23 @@ Each process:
    per-process row blocks — data/dataset.py),
 3. assembles the global sharded batch via ``shard_batch`` /
    ``jax.make_array_from_process_local_data`` with NO cross-host copies,
-4. runs one jitted plain train step over the 2-process mesh,
-5. prints the pmean'd metrics, which must agree across processes.
+4. runs one jitted train step over the 2-process mesh,
+5. prints the pmean'd metrics AND post-update checksums of every param
+   tree (generator + discriminator in GAN modes), which must agree
+   bit-for-bit across processes.
 
 This is the executed multi-host path behind PARITY.md's distributed claim —
 the TPU-native replacement for the reference's Lightning DDP process group
-(train.py:132-143), exercised as two real OS processes rather than one
-process faking a mesh."""
+over BOTH its model classes (plain FaceTTS, train.py:132-143, and
+FaceTTSWithDiscriminator with its two optimizers,
+face_tts_w_discriminator.py:116-125) — exercised as two real OS processes
+rather than one process faking a mesh."""
 
 import sys
 
 
-def main(process_id: int, num_processes: int, port: int) -> None:
+def main(process_id: int, num_processes: int, port: int,
+         mode: str = "plain") -> None:
     import jax
 
     # the site hook may have pre-imported jax with the axon plugin config;
@@ -51,7 +62,11 @@ def main(process_id: int, num_processes: int, port: int) -> None:
 
     from facegantts_tpu.config import default_config
     from facegantts_tpu.parallel import create_mesh, shard_batch, shard_state
-    from facegantts_tpu.train import init_state, make_plain_train_step
+    from facegantts_tpu.train import (
+        init_state,
+        make_gan_train_step,
+        make_plain_train_step,
+    )
     from facegantts_tpu.train.state import Batch
 
     assert jax.process_count() == num_processes, jax.process_count()
@@ -59,30 +74,43 @@ def main(process_id: int, num_processes: int, port: int) -> None:
     n_global = len(jax.devices())
     assert n_global == n_local * num_processes
 
+    use_gan = mode in ("gan", "gan_fsdp")
     cfg = default_config(
         env={},
         overrides=dict(
             n_enc_channels=16, filter_channels=32, filter_channels_dp=16,
-            n_enc_layers=1, dec_dim=8, vid_emb_dim=32, use_gan=0,
+            n_enc_layers=1, dec_dim=8, vid_emb_dim=32,
+            use_gan=1 if use_gan else 0,
             timesteps=2, learning_rate=1e-4, spk_emb="speech",
             syncnet_width_mult=0.125, out_size=32,
+            # GAN modes: tiny disc (XLA:CPU executes full-width disc
+            # weight-grad convs as scalar loops — BENCH_NOTES r4), 2
+            # micro-batches per device so the scan + R1 + both-tree pmean
+            # all execute across the process boundary
+            micro_batch_size=1, disc_base_channels=8, disc_num_layers=2,
+            kernel_height=5, kernel_width=3, use_r1_penalty=1,
+            fsdp=1 if mode == "gan_fsdp" else 0,
         ),
     )
 
-    # one row per global device; every process derives the SAME global batch
-    # from the shared seed, then keeps its contiguous block — exactly the
-    # BucketedLoader process-sharding contract
-    b_global, tx, ty = n_global, 8, 32
+    # two rows per global device in GAN modes (= 2 micro-batches of
+    # micro_batch_size=1 per device); one row otherwise.  Every process
+    # derives the SAME global batch from the shared seed, then keeps its
+    # contiguous block — exactly the BucketedLoader process-sharding
+    # contract.
+    rows_per_dev = 2 if use_gan else 1
+    b_global, tx, ty = n_global * rows_per_dev, 8, 32
+    b_local = n_local * rows_per_dev
     rng = np.random.default_rng(0)
     x = rng.integers(1, 100, (b_global, tx)).astype(np.int32)
     y = rng.standard_normal((b_global, cfg.n_mels, ty)).astype(np.float32)
     spk = rng.standard_normal((b_global, cfg.n_mels, ty)).astype(np.float32)
-    lo, hi = process_id * n_local, (process_id + 1) * n_local
+    lo, hi = process_id * b_local, (process_id + 1) * b_local
     local = Batch(
         x=x[lo:hi],
-        x_len=np.full(n_local, tx, np.int32),
+        x_len=np.full(b_local, tx, np.int32),
         y=y[lo:hi],
-        y_len=np.full(n_local, ty, np.int32),
+        y_len=np.full(b_local, ty, np.int32),
         spk=spk[lo:hi],
     )
 
@@ -100,11 +128,14 @@ def main(process_id: int, num_processes: int, port: int) -> None:
     # row values, so all processes produce identical trees
     state = init_state(cfg, jax.random.PRNGKey(0), local)
     _barrier("mp_init_done")  # shard_state's device_put is the first collective
-    state = shard_state(mesh, state)
+    state = shard_state(mesh, state, fsdp=bool(cfg.fsdp))
     batch = shard_batch(mesh, local)
     assert batch.x.shape[0] == b_global, batch.x.shape
 
-    train_step, _ = make_plain_train_step(cfg, mesh)
+    if use_gan:
+        train_step, _ = make_gan_train_step(cfg, mesh)
+    else:
+        train_step, _ = make_plain_train_step(cfg, mesh)
     # AOT-compile BEFORE the first collective execution, then align at a
     # coordination-service barrier (NOT a gloo collective): gloo context
     # bring-up has a hard ~30 s key-value rendezvous deadline, and on a
@@ -116,16 +147,34 @@ def main(process_id: int, num_processes: int, port: int) -> None:
     state, metrics = compiled(state, batch, jax.random.PRNGKey(1))
     metrics = {k: float(jax.device_get(v)) for k, v in metrics.items()}
     assert all(np.isfinite(v) for v in metrics.values()), metrics
-    # addressable-shard checksum of the updated params: pmean'd grads =>
-    # identical updates on every device of every process
-    leaves = jax.tree.leaves(state.params)
-    checksum = float(
-        sum(np.sum(np.abs(np.asarray(jax.device_get(l)))) for l in leaves)
-    )
+
+    # global checksums of the updated params: pmean'd grads => identical
+    # updates on every device of every process.  GAN modes checksum BOTH
+    # trees (generator + discriminator), proving the two-optimizer step's
+    # two pmean'd grad trees agreed across the process boundary.  The
+    # reduction runs as a jitted SPMD program: under fsdp the leaves are
+    # SHARDED across both processes (non-addressable to either host), so a
+    # host-side device_get cannot see them — the jitted global sum reduces
+    # across the mesh and returns a fully-replicated scalar every process
+    # can fetch, and which must agree bit-for-bit.
+    @jax.jit
+    def _tree_abs_sum(tree):
+        return jax.tree.reduce(
+            jnp.add,
+            jax.tree.map(
+                lambda l: jnp.sum(jnp.abs(l.astype(jnp.float32))), tree
+            ),
+        )
+
+    def _checksum(tree) -> float:
+        return float(jax.device_get(_tree_abs_sum(tree)))
+
+    fields = [f"proc={process_id}", f"mode={mode}", f"devices={n_global}",
+              f"local={n_local}", f"checksum={_checksum(state.params):.6e}"]
+    if use_gan:
+        fields.append(f"disc_checksum={_checksum(state.disc_params):.6e}")
     line = "MPRESULT " + " ".join(
-        [f"proc={process_id}", f"devices={n_global}", f"local={n_local}",
-         f"checksum={checksum:.6e}"]
-        + [f"{k}={metrics[k]:.6e}" for k in sorted(metrics)]
+        fields + [f"{k}={metrics[k]:.6e}" for k in sorted(metrics)]
     )
     print(line, flush=True)
 
@@ -139,4 +188,5 @@ def main(process_id: int, num_processes: int, port: int) -> None:
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]))
+    main(int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]),
+         sys.argv[4] if len(sys.argv) > 4 else "plain")
