@@ -42,7 +42,8 @@ def _mel(wav: np.ndarray, cfg: Config) -> np.ndarray:
 def build_syncnet_apply(cfg: Config):
     """SyncNet forward_aud as a plain callable (random init if no ckpt —
     similarity numbers are then only self-consistent, like the reference
-    without its pretrained syncnet)."""
+    without its pretrained syncnet).  The chosen backend is recorded in
+    ``apply.provenance`` so eval outputs can state it loudly."""
     import jax
     import jax.numpy as jnp
 
@@ -53,17 +54,51 @@ def build_syncnet_apply(cfg: Config):
     if cfg.syncnet_ckpt and os.path.exists(cfg.syncnet_ckpt):
         params, stats = ck.import_syncnet_checkpoint(cfg.syncnet_ckpt)
         variables = {"params": params, "batch_stats": stats}
+        provenance = f"pretrained ({cfg.syncnet_ckpt})"
     else:
         variables = jax.jit(lambda r: model.init(
             r, jnp.zeros((1, cfg.n_mels, 32, 1)),
             method=SyncNet.forward_aud,
         ))(jax.random.PRNGKey(0))  # jitted: eager init is 0.4-1.4 s/op on the tunneled TPU
+        provenance = ("RANDOM-INIT — Speaker Similarity is self-consistent "
+                      "only; set syncnet_ckpt for reference-comparable values")
 
     @jax.jit
-    def apply(mel):
+    def _apply(mel):
         return model.apply(variables, mel, method=SyncNet.forward_aud)
 
+    def apply(mel):
+        return _apply(mel)
+
+    apply.provenance = provenance
     return apply
+
+
+def backend_provenance(cfg: Config, syncnet_apply, mos) -> List[str]:
+    """Human-readable lines naming which metric backends are REAL pretrained
+    models vs documented fallbacks, stamped into eval_output.txt and the
+    in-train eval JSONL (VERDICT r4 weak #5: a composite produced with a
+    random-init SyncNet or the DSP MOS proxy must say so loudly, so numbers
+    are never misread as reference-comparable)."""
+    sync_p = getattr(syncnet_apply, "provenance",
+                     "unknown (custom syncnet_apply)")
+    mos_cls = type(mos).__name__
+    if mos_cls == "SSLMOSPredictor":
+        mos_p = f"utmos-ssl checkpoint ({cfg.mos_ckpt})"
+    elif mos_cls == "LinearHeadMOSPredictor":
+        mos_p = f"linear regression head ({cfg.mos_ckpt}) over DSP features"
+    else:
+        mos_p = ("DSP calibration proxy — UTMOS column is NOT the real "
+                 "utmos22_strong predictor; set mos_ckpt for parity")
+    f0_p = {
+        "world": "world (dio+stonemask+fastdtw — the reference eval protocol)",
+        "pyin": "pyin (HMM-smoothed probabilistic YIN, reference C10 protocol)",
+    }.get(cfg.f0_protocol, f"{cfg.f0_protocol} (fast estimator)")
+    return [
+        f"# backend syncnet: {sync_p}",
+        f"# backend mos: {mos_p}",
+        f"# backend f0: {f0_p}",
+    ]
 
 
 def score_wav_pair(gen: np.ndarray, ref: np.ndarray, cfg: Config,
@@ -99,8 +134,12 @@ def score_wav_pair(gen: np.ndarray, ref: np.ndarray, cfg: Config,
 
 
 def evaluate_pairs(
-    gen_dir: str, gt_dir: str, cfg: Config, max_files: Optional[int] = None
+    gen_dir: str, gt_dir: str, cfg: Config, max_files: Optional[int] = None,
+    header_out: Optional[List[str]] = None,
 ) -> Dict[str, float]:
+    """Score every paired wav under gen_dir/gt_dir.  When ``header_out`` is
+    given, the backend-provenance lines are appended to it (for stamping
+    into eval_output.txt)."""
     from facegantts_tpu.evaluation.utmos import make_mos_predictor
 
     gen_wavs = find_wavs(gen_dir)
@@ -108,6 +147,11 @@ def evaluate_pairs(
         gen_wavs = gen_wavs[:max_files]
     syncnet_apply = build_syncnet_apply(cfg)
     mos = make_mos_predictor(cfg.mos_ckpt)
+    provenance = backend_provenance(cfg, syncnet_apply, mos)
+    for line in provenance:
+        print(line)
+    if header_out is not None:
+        header_out.extend(provenance)
 
     sims, f0s, mcds, lsds, moses = [], [], [], [], []
     n_paired = 0
@@ -149,9 +193,11 @@ def main(argv=None):
     overrides = parse_cli_overrides(argv if argv is not None else sys.argv[1:])
     max_files = overrides.pop("max_files", None)
     cfg = default_config(overrides=overrides)
+    header: List[str] = []
     results = evaluate_pairs(
         cfg.output_dir, cfg.ground_truth_dir, cfg,
         int(max_files) if max_files else None,
+        header_out=header,
     )
     print("######## Evaluation Results ########")
     text = M.format_eval_output(results)
@@ -159,6 +205,9 @@ def main(argv=None):
     out_dir = os.getenv("DYNAMIC_EVAL_PATH", cfg.results_path)
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "eval_output.txt"), "w") as f:
+        # provenance header first — comment lines the reference-format
+        # regex parsers (Composite Metric: <float>) skip over
+        f.write("".join(line + "\n" for line in header))
         f.write(text)
 
 

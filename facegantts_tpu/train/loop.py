@@ -207,6 +207,13 @@ def train(cfg: Config, work_dir: str = "runs/default", max_steps: Optional[int] 
         evaluator = IntrainEvaluator(
             cfg, val_ds, os.path.join(work_dir, "inference")
         )
+        # stamp the eval-backend provenance ONCE into the metrics JSONL so
+        # downstream readers of eval/* rows know whether the numbers came
+        # from real pretrained backends or documented fallbacks
+        if logger is not None:
+            logger._f.write(json.dumps(
+                {"eval_backends": evaluator.provenance}) + "\n")
+            logger._f.flush()
 
     stopper = EarlyStopping(cfg.early_stopping_patience, cfg.early_stopping_min_delta)
     watchdog = DivergenceWatchdog()

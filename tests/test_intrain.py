@@ -41,6 +41,16 @@ def test_run_intrain_eval(tmp_path):
     text = open(os.path.join(step_dir, "eval_output.txt")).read()
     # reference regex-parse format: "key: value" lines
     assert "Speaker Similarity: " in text and "UTMOS: " in text
+    # loud provenance header (VERDICT r4 next #7): with no pretrained
+    # syncnet/mos/vocoder the fallbacks must be named in the file
+    assert "# backend syncnet: RANDOM-INIT" in text
+    assert "# backend mos: DSP calibration proxy" in text
+    assert "# backend vocoder: RANDOM-INIT" in text
+    # ...without breaking the reference float regex parse of the composite
+    import re
+
+    m = re.search(r"Composite Metric: ([0-9.eE+-]+)", text)
+    assert m and np.isfinite(float(m.group(1)))
 
 
 def test_intrain_evaluator_uses_configured_vocoder(tmp_path, monkeypatch):
