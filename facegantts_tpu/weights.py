@@ -39,7 +39,16 @@ import os
 import sys
 from typing import Any, Dict, Optional, Tuple
 
-_PINS_PATH = os.path.join(os.path.dirname(__file__), "assets", "weight_pins.json")
+_DEFAULT_PINS_PATH = os.path.join(
+    os.path.dirname(__file__), "assets", "weight_pins.json"
+)
+
+
+def _pins_path() -> str:
+    """Committed pins file, overridable via $FACEGANTTS_WEIGHT_PINS (read
+    per call) so drills/tests (scripts/first_contact.py rehearsal) can
+    trust-on-first-use replica files without touching the committed pins."""
+    return os.environ.get("FACEGANTTS_WEIGHT_PINS", _DEFAULT_PINS_PATH)
 
 #: name -> (source, importer dotted name) for every external artifact the
 #: reference consumes (SURVEY.md C27/C28).
@@ -75,15 +84,17 @@ def sha256_file(path: str, chunk: int = 1 << 20) -> str:
 
 
 def _load_pins() -> Dict[str, str]:
-    if os.path.exists(_PINS_PATH):
-        with open(_PINS_PATH) as f:
+    path = _pins_path()
+    if os.path.exists(path):
+        with open(path) as f:
             return json.load(f)
     return {}
 
 
 def _save_pins(pins: Dict[str, str]) -> None:
-    os.makedirs(os.path.dirname(_PINS_PATH), exist_ok=True)
-    with open(_PINS_PATH, "w") as f:
+    path = _pins_path()
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
         json.dump(pins, f, indent=2, sort_keys=True)
         f.write("\n")
 

@@ -518,7 +518,7 @@ def test_weights_pin_verify_roundtrip(tmp_path, monkeypatch):
     from facegantts_tpu import weights
 
     pins = tmp_path / "weight_pins.json"
-    monkeypatch.setattr(weights, "_PINS_PATH", str(pins))
+    monkeypatch.setenv("FACEGANTTS_WEIGHT_PINS", str(pins))
     f = tmp_path / "syncnet.pt"
     f.write_bytes(b"pretend-checkpoint")
 
@@ -553,7 +553,7 @@ def test_weights_cli_list_and_importers_resolve(tmp_path, monkeypatch, capsys):
     assert set(weights.ARTIFACTS) == {
         "facetts_lrs3", "syncnet", "hifigan_16k", "utmos22_strong"
     }
-    monkeypatch.setattr(weights, "_PINS_PATH", str(tmp_path / "p.json"))
+    monkeypatch.setenv("FACEGANTTS_WEIGHT_PINS", str(tmp_path / "p.json"))
     assert weights.main(["list"]) == 0
     out = capsys.readouterr().out
     assert "facetts_lrs3" in out and "<unpinned>" in out
