@@ -232,6 +232,11 @@ def collect_mos_samples(wav_paths: Sequence[str], video_root: str,
     faces = []
     for wav_path in wav_paths:
         parts = os.path.normpath(wav_path).split(os.sep)
+        if len(parts) < 2:
+            # expected layout is <spk>/<clip>.wav; a bare filename has no
+            # speaker directory to name the sample after
+            print(f"[WARN] skipping {wav_path!r}: no <spk>/<clip>.wav layout")
+            continue
         spk, clip = parts[-2], os.path.splitext(parts[-1])[0]
         shutil.copy(wav_path, os.path.join(target_dir, f"{spk}_{clip}.wav"))
         video = os.path.join(video_root, spk, clip + ".mp4")

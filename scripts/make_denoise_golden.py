@@ -64,10 +64,20 @@ def main():
         n_fft=1024, win_length=1024, hop_length=160,
     ).astype(np.float32)
     version = getattr(nr, "__version__", "unknown")
+    # librosa's version matters too: 0.10 changed the stft pad_mode default
+    # (reflect -> constant), which shifts noisereduce's output at the edges
+    try:
+        import librosa
+
+        librosa_version = getattr(librosa, "__version__", "unknown")
+    except ImportError:
+        librosa_version = "absent"
     os.makedirs(os.path.dirname(out), exist_ok=True)
     np.savez_compressed(out, noisy=noisy, denoised=den,
-                        version=np.array(version), sr=np.array(SR))
-    print(f"wrote {out} (noisereduce {version})")
+                        version=np.array(version),
+                        librosa_version=np.array(librosa_version),
+                        sr=np.array(SR))
+    print(f"wrote {out} (noisereduce {version}, librosa {librosa_version})")
 
     try:
         from facegantts_tpu.data.denoise import spectral_gate
