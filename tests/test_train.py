@@ -654,6 +654,52 @@ def test_committed_tpu_opt_overfit_artifact():
         assert e["synth_l1"] < 0.6 * e["synth_l1_untrained"], e
 
 
+def test_committed_dhealth_artifacts_long_horizon():
+    """Long-horizon discriminator-health evidence for the AUTO-4 default
+    (VERDICT r4 next #6): artifacts/dhealth_t4.jsonl and dhealth_t10.jsonl
+    are 1500-step v5e overfit runs from the same seed with T=4 (AUTO) vs
+    full-T training fakes.  Measured picture this test pins:
+
+    - the generator-identity invariant extends to all 1500 steps
+      (bit-equal generator loss columns) — including THROUGH the full-T
+      run's D saturation episodes;
+    - AUTO-4 is the HEALTHIER discriminator regime, not just the faster
+      one: zero non-finite skips in 1500 steps, disc_acc off the
+      degenerate rails, d_loss settled;
+    - full-T drives the D into recurring non-finite saturation (the
+      committed run skips ~31% of D micro-phases from step ~120 on) which
+      the NaN guard contains — the r4 400-step "collapse at step ~210"
+      observation was the onset of this, not a one-off."""
+    base = os.path.join(os.path.dirname(__file__), "..", "artifacts")
+    p4 = os.path.join(base, "dhealth_t4.jsonl")
+    p10 = os.path.join(base, "dhealth_t10.jsonl")
+    if not (os.path.exists(p4) and os.path.exists(p10)):
+        pytest.skip("run scripts/overfit_probe.py 1500 (default and DFAKE_T=0)")
+    r4 = [r for r in map(json.loads, open(p4)) if r["step"] != "eval"]
+    r10 = [r for r in map(json.loads, open(p10)) if r["step"] != "eval"]
+    assert len(r4) == len(r10) >= 1200
+    gen_cols = ("diffusion_loss", "duration_loss", "prior_loss", "spk_loss")
+    for a, b in zip(r4, r10):
+        for k in gen_cols:
+            assert a[k] == b[k], (a["step"], k, a[k], b[k])
+        # the generator phase never skips in either run (g_guard_loss
+        # gates on the grad-carrying loss, which stays finite)
+        assert a["g_nan_skipped"] == 0.0 and b["g_nan_skipped"] == 0.0
+
+    # AUTO-4: zero D skips over the whole horizon, healthy D telemetry
+    assert sum(r["d_nan_skipped"] for r in r4) == 0.0
+    q = len(r4) // 4
+    acc4 = float(np.mean([r["disc_acc"] for r in r4[-q:]]))
+    dl4 = float(np.mean([r["d_loss"] for r in r4[-q:]]))
+    assert 0.50 < acc4 < 0.98, acc4
+    assert 0.1 < dl4 < 10.0, dl4
+    # full-T: recurring saturation, contained by the guard (committed run:
+    # 464/1500 D micro-phases skipped) — the documented reason AUTO-4 is
+    # the default beyond throughput
+    skips10 = sum(r["d_nan_skipped"] for r in r10)
+    assert skips10 > 50, skips10
+
+
 def test_overfit_artifacts_generator_identical_across_fake_T():
     """The 400-step EMPIRICAL version of the disc_fake_timesteps identity
     proof: artifacts/overfit_metrics.jsonl (AUTO-4 fakes) and
