@@ -458,16 +458,17 @@ def main():
         # parity family: the reference-checkpoint-compatible U-Net (r1-r4
         # continuity row)
         sps_par, sec_par, mfu_par, compile_s = bench_gan_step(label="parity")
-        # tpu_opt family: the lane-aligned patchify U-Net (config.py
-        # unet_family) — the framework's fast training configuration and
-        # the HEADLINE train metric from r5 on
-        sps, sec, mfu, _ = bench_gan_step(
-            overrides={"unet_family": "tpu_opt"}, label="tpu_opt"
-        )
+        # tpu_opt families: lane-aligned patchify U-Net + lane-aligned
+        # discriminator (config.py unet_family / disc_family) — the
+        # framework's fast training configuration and the HEADLINE train
+        # metric from r5 on.  D-health at this config is a committed
+        # 1500-step artifact (artifacts/overfit_metrics_dopt.jsonl).
+        OPT = {"unet_family": "tpu_opt", "disc_family": "tpu_opt"}
+        sps, sec, mfu, _ = bench_gan_step(overrides=OPT, label="tpu_opt")
         RESULTS.insert(-1, {
             "metric": "train_samples_per_sec",
             "value": round(sps, 2),
-            "unit": "samples/s@batch32,unet_family=tpu_opt",
+            "unit": "samples/s@batch32,unet+disc_family=tpu_opt",
             "vs_baseline": round(sps / REF_SAMPLES_PER_SEC_PER_GPU, 3),
             "vs_prior_round": round(sps / PRIOR_ROUND["train_samples_per_sec"], 3),
         })
@@ -482,7 +483,7 @@ def main():
         RESULTS.insert(-1, {
             "metric": "mfu",
             "value": round(mfu, 4),
-            "unit": "fraction_of_v5e_bf16_peak,unet_family=tpu_opt",
+            "unit": "fraction_of_v5e_bf16_peak,unet+disc_family=tpu_opt",
             "vs_baseline": round(mfu, 4),
             "vs_prior_round": round(mfu / PRIOR_ROUND["mfu"], 3),
         })
@@ -495,13 +496,11 @@ def main():
         })
         if os.environ.get("BENCH_BUCKET_MIX", "1") == "1":
             try:
-                agg, _ = bench_bucket_mix(
-                    overrides={"unet_family": "tpu_opt"}
-                )
+                agg, _ = bench_bucket_mix(overrides=OPT)
                 RESULTS.insert(-1, {
                     "metric": "train_samples_per_sec_bucket_mix",
                     "value": round(agg, 2),
-                    "unit": "samples/s,LRS2-length-mix,unet_family=tpu_opt",
+                    "unit": "samples/s,LRS2-length-mix,unet+disc_family=tpu_opt",
                     "vs_baseline": round(agg / REF_SAMPLES_PER_SEC_PER_GPU, 3),
                 })
             except Exception as e:

@@ -128,6 +128,16 @@ class Config:
     lambda_adv: float = 0.7
     gamma: float = 0.02  # speaker-binding loss weight
 
+    disc_family: str = "parity"  # discriminator conv ladder: "parity" =
+    #                      the reference shape (models/discriminator.py);
+    #                      "tpu_opt" = lane-aligned patchify variant whose
+    #                      C=128 half-res convs fill the MXU (the parity
+    #                      ladder's 64x64-channel convs run at ~12% of
+    #                      peak — device trace, BENCH_NOTES r5).  OPT-IN:
+    #                      a different D is a different adversary; no
+    #                      pretrained D artifact exists either way (the
+    #                      reference trains D from scratch and strips disc
+    #                      keys from warm-start ckpts, train.py:110-121).
     disc_lrelu_slope: float = 0.3
     disc_learning_rate: float = 1e-4
     use_spectral_norm: int = 0

@@ -55,6 +55,9 @@ MEASURED_SAMPLES_PER_SEC: Dict[str, Optional[float]] = {
     "tpu_opt": 41.55,  # r5 bench matrix (scripts/bench_matrix.py tpu_opt:
     #                    770.2 ms/step at batch 32, same-day base_r5 control
     #                    1209.4 ms / 26.46 — BENCH_NOTES r5)
+    "tpu_opt+disc": 83.89,  # r5 bench matrix dopt (unet+disc tpu_opt):
+    #                    381.5 ms/step at batch 32 — BENCH_NOTES r5;
+    #                    D-health: artifacts/overfit_metrics_dopt.jsonl
 }
 BENCH_LOCAL_BATCH = 32
 

@@ -66,6 +66,7 @@ def build_models(cfg: Config):
         use_spectral_norm=cfg.use_spectral_norm,
         multi_speaker=cfg.multi_spks,
         residual_channels=cfg.residual_channels,
+        family=cfg.disc_family,
     )
     return model, disc
 

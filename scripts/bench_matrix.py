@@ -52,6 +52,10 @@ CONFIGS = {
     "tpu_opt_mb32": {"unet_family": "tpu_opt", "micro_batch_size": "32"},
     "tpu_opt_tbf16": {"unet_family": "tpu_opt", "train_bf16": "1"},
     "base_r5": {},
+    # r5b: lane-aligned discriminator on top of the tpu_opt generator —
+    # the trace showed the parity D's 64x64ch convs at ~12% of MXU peak
+    "dopt": {"unet_family": "tpu_opt", "disc_family": "tpu_opt"},
+    "dopt_only": {"disc_family": "tpu_opt"},
 }
 
 CHILD = r"""

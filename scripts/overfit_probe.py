@@ -94,11 +94,13 @@ def main():
         env["disc_fake_timesteps"] = os.environ["DFAKE_T"]
     if os.environ.get("UNET_FAMILY"):
         env["unet_family"] = os.environ["UNET_FAMILY"]
+    if os.environ.get("DISC_FAMILY"):
+        env["disc_family"] = os.environ["DISC_FAMILY"]
     cfg = default_config(env=env)
     batch = synth_batch(cfg)
     print(f"device {jax.devices()[0]}; dims enc={cfg.n_enc_channels}/"
           f"{cfg.filter_channels} x{cfg.n_enc_layers}, dec={cfg.dec_dim}, "
-          f"family={cfg.unet_family}, "
+          f"family={cfg.unet_family}, disc_family={cfg.disc_family}, "
           f"T={cfg.timesteps}, dfake_T={cfg.train_fake_timesteps}, "
           f"batch {N_ITEMS} = {N_ITEMS // cfg.micro_batch_size} micro",
           flush=True)

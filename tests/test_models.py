@@ -251,6 +251,34 @@ def test_discriminator(keys):
     assert logits2.shape == logits.shape
 
 
+def test_discriminator_tpu_opt_family(keys):
+    """disc_family=tpu_opt (models/discriminator.py): patchify stem +
+    half-res SAME ladder at 2x channels; same fmap count as parity so
+    feature matching is family-agnostic; input-gradients flow (R1)."""
+    d = SpectrogramDiscriminator(family="tpu_opt")
+    x = jax.random.normal(keys[0], (2, 128, 64, 1))
+    params = d.init(keys[1], x)
+    fmap, logits = d.apply(params, x)
+    assert len(fmap) == 6  # stem + 5 layers (parity fmap count)
+    assert fmap[0].shape == (2, 64, 32, 128)  # half-res, 2x channels
+    assert logits.ndim == 2 and logits.shape[0] == 2
+    assert np.isfinite(np.asarray(logits)).all()
+    # speaker injection
+    spk = jax.random.normal(keys[2], (2, 256))
+    params2 = d.init(keys[1], x, spk)
+    _, logits2 = d.apply(params2, x, spk)
+    assert logits2.shape == logits.shape
+    # R1 path: gradient w.r.t. the INPUT is finite and nonzero
+    g = jax.grad(lambda y: d.apply(params, y)[1].sum())(x)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(np.abs(np.asarray(g)).max()) > 0
+    # odd input dims are a hard error
+    with pytest.raises(ValueError, match="even"):
+        d.init(keys[1], x[:, :, :63])
+    with pytest.raises(ValueError, match="family"):
+        SpectrogramDiscriminator(family="nope").init(keys[1], x)
+
+
 @pytest.fixture(scope="module")
 def tiny_facetts():
     model = FaceTTS(
