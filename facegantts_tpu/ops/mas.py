@@ -24,9 +24,20 @@ import jax.numpy as jnp
 
 _NEG = -1e9
 
+#: scan unroll for the two T_y-length MAS scans.  Each iteration is a tiny
+#: (B, T_x) vector op, so While-loop bookkeeping (condition, input
+#: dynamic-slice, carry aliasing) rivals the math; unrolling amortizes it
+#: across k columns without changing the DP.  Measured on v5e at the bench
+#: shape (16, 128, 436): standalone maximum_path is tunnel-sync-floor bound
+#: either way (28.8 ms at unroll 1 vs 26.6 at 8, floor ~32 ms round trip;
+#: paths bit-identical) — kept at 8 for the small real saving inside the
+#: fused step where no sync floor hides it.
+MAS_UNROLL = 8
 
-@partial(jax.jit, static_argnames=())
-def maximum_path(value: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+
+@partial(jax.jit, static_argnames=("unroll",))
+def maximum_path(value: jnp.ndarray, mask: jnp.ndarray,
+                 unroll: int = MAS_UNROLL) -> jnp.ndarray:
     """Max-likelihood monotonic alignment path.
 
     Args:
@@ -66,7 +77,10 @@ def maximum_path(value: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     # derive the initial carry from the input so its varying-axes type
     # matches inside shard_map (see shard_map scan-vma docs)
     v0 = jnp.full_like(cols[0], _NEG)
-    _, vals = jax.lax.scan(fwd, v0, (cols, jnp.arange(t_y, dtype=jnp.int32)))
+    _, vals = jax.lax.scan(
+        fwd, v0, (cols, jnp.arange(t_y, dtype=jnp.int32)),
+        unroll=max(1, min(unroll, t_y)),
+    )
     # vals: (T_y, B, T_x); prev-column view for backtracking comparisons
     vals_prev = jnp.concatenate([jnp.full_like(vals[:1], _NEG), vals[:-1]], axis=0)
 
@@ -83,7 +97,10 @@ def maximum_path(value: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
         return index - step_down.astype(jnp.int32), emit
 
     ys = jnp.arange(t_y - 1, -1, -1, dtype=jnp.int32)
-    _, path_rev = jax.lax.scan(bwd, tx - 1, (vals_prev[::-1], ys))
+    _, path_rev = jax.lax.scan(
+        bwd, tx - 1, (vals_prev[::-1], ys),
+        unroll=max(1, min(unroll, t_y)),
+    )
     path = jnp.moveaxis(path_rev[::-1], 0, 2)  # (B, T_x, T_y)
     return (path * maskf).astype(dtype)
 

@@ -306,6 +306,15 @@ def train(cfg: Config, work_dir: str = "runs/default", max_steps: Optional[int] 
             else:
                 vm = val_step(state, shard_batch(mesh, vb), vrng)
             vals.append({k: float(v) for k, v in vm.items()})
+        if not vals and is_main:
+            # a val set smaller than batch_size per bucket yields ZERO full
+            # batches from the bucketed loader — without this line the run
+            # silently skips validation (and with it epoch-ranked
+            # checkpointing) every epoch
+            print(f"[WARN] epoch {epoch}: validation produced 0 batches — "
+                  f"val set too small for batch_size={cfg.per_gpu_batchsize} "
+                  "per bucket; no val metrics or ranked checkpoints this "
+                  "epoch")
         if vals:
             avg = {k: float(np.mean([v[k] for v in vals])) for k in vals[0]}
             if is_main:

@@ -51,6 +51,14 @@ def main():
     if os.environ.get("EVAL_INTERVAL"):
         # exercise the in-train eval (reference StepwiseEval) on-device
         env["eval_interval"] = os.environ["EVAL_INTERVAL"]
+    for k in ("UNET_FAMILY", "DISC_FAMILY"):
+        if os.environ.get(k):
+            env[k.lower()] = os.environ[k]
+    if os.environ.get("MIXED_BUCKETS"):
+        # epoch-realistic shape mix: two mel buckets -> per-bucket
+        # executables interleave inside one loop (the real LRS2 situation)
+        env["text_buckets"] = "96,192"
+        env["mel_buckets"] = "128,256"
     cfg = default_config(env=env)
     print(f"device {jax.devices()[0]}; loop probe {max_steps} steps, "
           f"work_dir {work}", flush=True)
@@ -58,10 +66,19 @@ def main():
         shutil.rmtree(work)
     # small synthetic corpus: ~2 epochs inside max_steps so epoch-end val +
     # snapshot + ranked checkpoints all fire (clips capped at 2.5 s so the
-    # single-bucket collate stays one executable)
+    # single-bucket collate stays one executable; with MIXED_BUCKETS the
+    # length span covers both buckets so both executables really run)
+    min_frames = 40 if os.environ.get("MIXED_BUCKETS") else 150
+    # mixed mode: items split across 2 buckets, and the loader only emits
+    # FULL batches per bucket — the val set must be big enough that every
+    # bucket still forms at least one batch (train/loop.py warns loudly
+    # when an epoch's validation yields zero batches)
+    n_val = 64 if os.environ.get("MIXED_BUCKETS") else 16
     train_ds = SyntheticDataset(n_items=16 * 16, n_mels=cfg.n_mels,
+                                min_frames=min_frames,
                                 max_frames=250, spk_mode="face")
-    val_ds = SyntheticDataset(n_items=16, n_mels=cfg.n_mels, seed=1,
+    val_ds = SyntheticDataset(n_items=n_val, n_mels=cfg.n_mels, seed=1,
+                              min_frames=min_frames,
                               max_frames=250, spk_mode="face")
     t0 = time.time()
     state = train(cfg, work_dir=work, max_steps=max_steps,
@@ -77,8 +94,12 @@ def main():
           f"checkpoints: {sorted(ckpts)}", flush=True)
     print(f"artifacts: {sorted(os.listdir(work))}", flush=True)
 
-    name = ("tpu_loop_eval_metrics.jsonl" if os.environ.get("EVAL_INTERVAL")
-            else "tpu_loop_metrics.jsonl")
+    if os.environ.get("MIXED_BUCKETS"):
+        name = "tpu_loop_mixed_metrics.jsonl"
+    elif os.environ.get("EVAL_INTERVAL"):
+        name = "tpu_loop_eval_metrics.jsonl"
+    else:
+        name = "tpu_loop_metrics.jsonl"
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "artifacts", name)
     meta = {"meta": {"device": str(jax.devices()[0]), "max_steps": max_steps,

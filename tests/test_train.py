@@ -859,6 +859,31 @@ def test_train_loop_graceful_shutdown(tmp_path):
     assert os.listdir(os.path.join(work, "last"))
 
 
+def test_committed_tpu_loop_mixed_artifact():
+    """Epoch-realistic MIXED-BUCKET production loop on the real chip with
+    the tpu_opt families (MIXED_BUCKETS=1 UNET_FAMILY=tpu_opt
+    DISC_FAMILY=tpu_opt scripts/train_loop_probe.py): two mel buckets'
+    executables interleave inside one loop — the actual LRS2 shape
+    situation — with validation and ranked checkpointing live."""
+    path = os.path.join(os.path.dirname(__file__), "..", "artifacts",
+                        "tpu_loop_mixed_metrics.jsonl")
+    if not os.path.exists(path):
+        pytest.skip("run MIXED_BUCKETS=1 scripts/train_loop_probe.py")
+    rows = [json.loads(ln) for ln in open(path)]
+    meta = rows[0]["meta"]
+    assert "TPU" in meta["device"]
+    assert meta["checkpoints"], "no ranked checkpoints in the mixed run"
+    train_rows = [r for r in rows[1:] if any(k.startswith("train/") for k in r)]
+    val_rows = [r for r in rows[1:] if "val/total_loss" in r]
+    assert train_rows and val_rows, (len(train_rows), len(val_rows))
+    for r in train_rows:
+        assert r["train/d_nan_skipped"] == 0.0
+        assert r["train/g_nan_skipped"] == 0.0
+    assert all(np.isfinite(r["val/total_loss"]) for r in val_rows)
+    # it trains across the bucket mix
+    assert train_rows[-1]["train/d_loss"] < 0.1 * train_rows[0]["train/d_loss"]
+
+
 def test_committed_tpu_loop_artifact():
     """The PRODUCTION loop ran end-to-end on the real chip
     (scripts/train_loop_probe.py, committed artifacts/tpu_loop_metrics.jsonl):
