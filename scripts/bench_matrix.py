@@ -56,6 +56,10 @@ CONFIGS = {
     # the trace showed the parity D's 64x64ch convs at ~12% of MXU peak
     "dopt": {"unet_family": "tpu_opt", "disc_family": "tpu_opt"},
     "dopt_only": {"disc_family": "tpu_opt"},
+    "dopt_tbf16": {"unet_family": "tpu_opt", "disc_family": "tpu_opt",
+                   "train_bf16": "1"},
+    "dopt_dbf16": {"unet_family": "tpu_opt", "disc_family": "tpu_opt",
+                   "disc_bf16": "1"},
 }
 
 CHILD = r"""
