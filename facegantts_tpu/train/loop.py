@@ -234,7 +234,12 @@ def train(cfg: Config, work_dir: str = "runs/default", max_steps: Optional[int] 
                     state, batch, srng,
                     train_disc=epoch >= cfg.warmup_disc_epochs,
                     train_gen=epoch >= cfg.freeze_gen_epochs,
-                    use_r1=bool(cfg.use_r1_penalty) and epoch >= cfg.r1_start_epoch,
+                    # lazy R1 (cfg.r1_interval > 1): the penalty fires on
+                    # every N-th step at N-fold gamma; use_r1 is a STATIC
+                    # arg, so the loop alternates two compiled executables
+                    use_r1=bool(cfg.use_r1_penalty)
+                    and epoch >= cfg.r1_start_epoch
+                    and step % max(1, cfg.r1_interval) == 0,
                 )
             else:
                 state, metrics = train_step(state, batch, srng)

@@ -415,7 +415,11 @@ def make_gan_loss_fns(cfg: Config, model=None, disc=None):
         d_loss = up(_disc_loss(loss_type, real_logits, fake_logits))
         acc = up(_disc_accuracy(loss_type, real_logits, fake_logits))
         if use_r1:
-            d_loss = d_loss + cfg.r1_gamma * 0.5 * r1
+            # effective_r1_gamma = r1_gamma * r1_interval: with lazy R1
+            # (cfg.r1_interval > 1) the penalty lands on 1/N of the steps
+            # at N-fold weight (StyleGAN2 lazy regularization); at the
+            # default interval 1 this is exactly the reference's gamma
+            d_loss = d_loss + cfg.effective_r1_gamma * 0.5 * r1
         # The fake logits/feature-maps are returned for the G phase: with the
         # default no-grad sampler the reference's adv/fm terms carry NO
         # generator gradient (@torch.no_grad forward, face_tts.py:92).  In

@@ -741,6 +741,39 @@ def test_overfit_artifacts_generator_identical_across_fake_T():
     assert d_diff > len(r4) // 2, d_diff
 
 
+def test_lazy_r1_effective_gamma():
+    """cfg.r1_interval (lazy R1, StyleGAN2 lazy regularization): steps that
+    apply the penalty scale gamma by the interval so the time-averaged
+    strength matches every-step R1; interval 1 is exactly the reference."""
+    from facegantts_tpu.train.step import make_gan_loss_fns
+
+    cfg1 = default_config(env=dict(TINY, use_gan="1"))
+    assert cfg1.effective_r1_gamma == cfg1.r1_gamma
+    cfg4 = cfg1.replace(r1_interval=4)
+    assert cfg4.effective_r1_gamma == 4 * cfg4.r1_gamma
+
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(rng.standard_normal((2, 128, 32)), jnp.float32)
+    fake = jnp.asarray(rng.standard_normal((2, 128, 32)), jnp.float32)
+    import jax as _jax
+
+    from facegantts_tpu.train.step import build_models
+
+    model, disc = build_models(cfg1)
+    dp = disc.init(_jax.random.PRNGKey(0), y[..., None])["params"]
+    out = {}
+    for cfg in (cfg1, cfg4):
+        _, d_loss_fn, _ = make_gan_loss_fns(cfg, model, disc)
+        d_loss, (m, _) = d_loss_fn(dp, y, fake, True)
+        out[cfg.r1_interval] = (float(d_loss), float(m["r1_penalty"]))
+    (l1, r1p), (l4, r4p) = out[1], out[4]
+    assert r1p == r4p  # the raw penalty is interval-independent
+    # the loss difference is exactly the extra (interval-1)*gamma*0.5*r1
+    np.testing.assert_allclose(
+        l4 - l1, 3 * cfg1.r1_gamma * 0.5 * r1p, rtol=1e-5
+    )
+
+
 def test_micro_split_rejects_indivisible_batch():
     from facegantts_tpu.train.step import _micro_split
 
