@@ -22,6 +22,31 @@ def test_entry_point_importable(mod):
     __import__(mod)
 
 
+def test_tpu_fast_preset_loads():
+    """configs/tpu_fast.json: every key is a real Config field and the
+    preset resolves to the lane-aligned families + lazy R1; explicit
+    key=value overrides still win over the preset."""
+    import json
+    import os
+
+    from facegantts_tpu.config import Config, default_config
+
+    path = os.path.join(os.path.dirname(__file__), "..", "configs",
+                        "tpu_fast.json")
+    raw = json.load(open(path))
+    field_names = {f.name for f in __import__("dataclasses").fields(Config)}
+    for k in raw:
+        if not k.startswith("_"):
+            assert k in field_names, f"preset key {k!r} is not a Config field"
+    cfg = default_config(env={}, json_path=path)
+    assert cfg.unet_family == "tpu_opt" and cfg.disc_family == "tpu_opt"
+    assert cfg.r1_interval == 16
+    assert cfg.effective_r1_gamma == 16 * cfg.r1_gamma
+    cfg2 = default_config(env={}, overrides={"unet_family": "parity"},
+                          json_path=path)
+    assert cfg2.unet_family == "parity"
+
+
 def test_usage_errors_are_clean():
     """No-arg invocations that must exit with a usage error, not a crash."""
     for mod, args in [

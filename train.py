@@ -19,6 +19,9 @@ from facegantts_tpu.train.loop import train
 def main(argv=None):
     overrides = parse_cli_overrides(argv if argv is not None else sys.argv[1:])
     work_dir = overrides.pop("work_dir", "runs/default")
+    # config=<file.json>: preset file (e.g. configs/tpu_fast.json), lower
+    # precedence than explicit key=value overrides and env vars
+    json_path = overrides.pop("config", None)
     if str(overrides.pop("jax_distributed", "0")) == "1":
         # multi-host pod: every worker runs this same command
         # (scripts/launch_pod.sh); topology comes from the TPU metadata
@@ -27,9 +30,11 @@ def main(argv=None):
         jax.distributed.initialize()
         print(f"[INFO] jax.distributed: process {jax.process_index()}"
               f"/{jax.process_count()}, {jax.local_device_count()} local devices")
-    cfg = default_config(overrides=overrides)
+    cfg = default_config(overrides=overrides, json_path=json_path)
     print(f"[INFO] use_gan={cfg.use_gan} batch_size={cfg.batch_size} "
-          f"max_steps={cfg.max_steps} work_dir={work_dir}")
+          f"max_steps={cfg.max_steps} work_dir={work_dir} "
+          f"families={cfg.unet_family}/{cfg.disc_family} "
+          f"r1_interval={cfg.r1_interval}")
     train(cfg, work_dir=work_dir)
 
 
