@@ -442,6 +442,13 @@ def default_config(
     Environment-variable override of every key mirrors reference
     config.py:12-181 (`os.getenv(name, default)`)."""
     env = dict(os.environ if env is None else env)
+    overrides = dict(overrides) if overrides else {}
+    # `config=<file.json>` works on EVERY CLI (train/inference/serve/eval/
+    # hyperopt — any caller that feeds parse_cli_overrides output here):
+    # the file is a preset (e.g. configs/tpu_fast.json) at the lowest
+    # precedence, below env vars and explicit key=value overrides
+    if json_path is None and "config" in overrides:
+        json_path = overrides.pop("config")
     values: Dict[str, Any] = {}
     if json_path:
         with open(json_path) as f:
