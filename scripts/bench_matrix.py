@@ -60,6 +60,8 @@ CONFIGS = {
                    "train_bf16": "1"},
     "dopt_dbf16": {"unet_family": "tpu_opt", "disc_family": "tpu_opt",
                    "disc_bf16": "1"},
+    "dopt_mb8": {"unet_family": "tpu_opt", "disc_family": "tpu_opt",
+                 "micro_batch_size": "8"},
 }
 
 CHILD = r"""
