@@ -186,6 +186,19 @@ class Config:
     # true differentiable sampler (rematerialised lax.scan).
     adv_grad_through_sampler: int = 0
 
+    # Opt-in DEVIATION: apply the plain-FaceTTS random 2-second crop
+    # (out_size, face_tts.py:181-215) to the GAN G-phase compute_loss too.
+    # The reference's GAN G step computes dur/prior/diff/spk at FULL mel
+    # length (out_size=None, face_tts_w_discriminator.py:285-287) even
+    # though the plain trainer it warm-starts from cropped; 1 restores the
+    # crop there, shrinking the G-phase U-Net/SyncNet passes from the
+    # bucket length (up to 872 frames) to 128 frames.  The adv term is
+    # unchanged (the sampler still produces the full-length fake the
+    # discriminator judges).  Loss VALUES differ from the reference
+    # (diff/prior/spk are crop averages, as in plain training), so the
+    # default stays 0 = reference semantics.
+    gan_g_crop: int = 0
+
     disc_betas_0: float = 0.9
     disc_betas_1: float = 0.999
     disc_eps: float = 1e-8

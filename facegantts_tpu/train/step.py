@@ -481,12 +481,15 @@ def make_gan_loss_fns(cfg: Config, model=None, disc=None):
                 _frame_energy(fake), mb.y_len,
             ))
         # GAN G-phase: full-length losses (out_size=None), reference :285-287.
+        # cfg.gan_g_crop=1 opts back into the plain-path 2-s crop (see
+        # config.py — loss values become crop averages, adv unchanged).
         # Dropout is live here like the reference's train-mode module
         # (prenet p=0.5, model/text_encoder.py:355).
+        g_out_size = cfg.out_size if cfg.gan_g_crop else None
         rng, rng_do = jax.random.split(rng)
         parts, _ = model.apply(
             {"params": down(params), **down(model_state)}, rng, mb.x, mb.x_len,
-            down(mb.y), mb.y_len, down(mb.spk), None,
+            down(mb.y), mb.y_len, down(mb.spk), g_out_size,
             deterministic=False,
             method=FaceTTS.compute_loss,
             rngs={"dropout": rng_do},

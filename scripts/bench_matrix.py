@@ -62,6 +62,11 @@ CONFIGS = {
                    "disc_bf16": "1"},
     "dopt_mb8": {"unet_family": "tpu_opt", "disc_family": "tpu_opt",
                  "micro_batch_size": "8"},
+    # r5c: opt-in 2-s crop for the GAN G-phase compute_loss (config.py
+    # gan_g_crop) — shrinks the G-phase U-Net/SyncNet passes from the
+    # bucket length to 128 frames; adv/D phases unchanged
+    "dopt_gcrop": {"unet_family": "tpu_opt", "disc_family": "tpu_opt",
+                   "gan_g_crop": "1"},
 }
 
 CHILD = r"""

@@ -130,6 +130,38 @@ def test_gan_step_warmup_phase_and_val():
     assert np.isfinite(float(vm["total_loss"]))
 
 
+@pytest.mark.slow
+def test_gan_g_crop_changes_loss_not_adv():
+    """cfg.gan_g_crop=1 (opt-in deviation, config.py): the GAN G phase
+    computes dur/prior/diff/spk on the plain-path 2-s crop instead of the
+    full bucket length (reference runs full length,
+    face_tts_w_discriminator.py:285-287).  The crop must engage (diffusion
+    loss differs from the full-length run at the same seed), training must
+    stay finite and update the generator, and the ADV path must be
+    untouched (same full-length fake + pre-update disc => identical
+    adv_loss and d_loss across the two configs)."""
+    ty = 160  # > out_size=128 so the crop actually engages
+    results = {}
+    for crop in ("0", "1"):
+        cfg = default_config(env=dict(TINY, use_gan="1", gan_g_crop=crop))
+        assert cfg.out_size == 128
+        batch = tiny_batch(ty=ty)
+        state = init_state(cfg, jax.random.PRNGKey(0), batch)
+        mesh = create_mesh(jax.devices('cpu')[:1])
+        train_step, _ = make_gan_train_step(cfg, mesh)
+        old = _snap(state.params)
+        state, metrics = train_step(state, batch, jax.random.PRNGKey(1))
+        for k, v in metrics.items():
+            assert np.isfinite(float(v)), (crop, k, v)
+        assert _param_delta(old["encoder"], state.params["encoder"]) > 0
+        results[crop] = {k: float(v) for k, v in metrics.items()}
+    # crop engaged: the generator-side losses are crop averages now
+    assert results["0"]["diffusion_loss"] != results["1"]["diffusion_loss"]
+    # D phase and adv term see the SAME full-length fake either way
+    assert results["0"]["adv_loss"] == results["1"]["adv_loss"]
+    assert results["0"]["d_loss"] == results["1"]["d_loss"]
+
+
 def test_gan_generator_clip_is_per_group():
     """Reference clips encoder and decoder grad norms SEPARATELY (max_norm=1
     each, face_tts_w_discriminator.py:312-313) and its optimizer never sees
